@@ -1,0 +1,333 @@
+"""Aggregation cores: weighted non-local patch stacking / summing.
+
+Reference ops covered (lib/stnls/agg/, lib/csrc/agg/):
+  * nl_gather_stack   <- NonLocalGather  (gather_{int,bilin2d}_kernel.cu):
+      stack[b,hd,k,t,:,ref_ij] += w[q,k] * vid[b,hd,nl_t,:,nl_ij]
+      normalized by patch-overlap counts.
+  * nl_gather_add     <- NonLocalGatherAdd (gather_add_kernel.cu):
+      same accumulation collapsed over K into an output *video*.
+  * nl_scatter_add    <- NonLocalScatterAdd (scatter_add_kernel.cu):
+      transposed op: out[nl_ij] += w[q,k] * vid[ref_ij].
+  * nl_pool           <- PooledPatchSum (pool_int_kernel.cu): patch sums on
+      a ps-upsampled grid.
+
+TPU design note: the CUDA kernels scatter with atomicAdd. Here the
+*reference-side* pixel coordinates are static affine functions of the query
+grid (ref_ij = nh*stride0 + patch offset), so every "scatter" to ref
+locations lowers to strided-slice `.at[...].add` updates — no scatter op,
+bitwise deterministic. Only the scatter_add family needs true dynamic
+scatters, done with `.at[].add` (XLA deterministic scatter-add on TPU).
+Gradients (vid, weights, and flow offsets in the float path) come from
+jax.grad of this forward, replacing gather_{int,bilin2d}_backward.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stnls_tpu.ops.geometry import reflect_bounds, in_bounds, num_queries
+
+
+def _fold_count_1d(L, n, stride, d):
+    """Static count of queries covering each position for one patch offset d:
+    positions nh*stride + d for nh in [0,n) intersected with [0,L)."""
+    c = np.zeros(L, np.float32)
+    pos = np.arange(n) * stride + d
+    ok = (pos >= 0) & (pos < L)
+    c[pos[ok]] += 1
+    return c
+
+
+def patch_overlap_counts(H, W, ps, stride0, dilation=1, use_adj=False):
+    """Static [H,W] overlap counts of the query patch fold (the gather
+    kernels' `counts`, gather_int.cu:72-74). Separable."""
+    patch_offset = 0 if use_adj else -(ps // 2)
+    nH, nW = num_queries(H, W, stride0)
+    ch = np.zeros(H, np.float32)
+    cw = np.zeros(W, np.float32)
+    for p in range(ps):
+        d = dilation * (p + patch_offset)
+        ch += _fold_count_1d(H, nH, stride0, d)
+        cw += _fold_count_1d(W, nW, stride0, d)
+    return ch[:, None] * cw[None, :]
+
+
+def _valid_ref_slices(n, stride, d, L):
+    """Query-index range [n0, n1) whose ref position nh*stride + d lies in
+    [0, L), plus the matching strided image slice."""
+    n0 = max(0, int(np.ceil(-d / stride)))
+    n1 = min(n, (L - 1 - d) // stride + 1)
+    n1 = max(n0, n1)
+    return n0, n1, slice(n0 * stride + d, (n1 - 1) * stride + d + 1, stride)
+
+
+def _nl_centers(flows, ref_t, ref_h, ref_w, T, H, W, is_int):
+    """Non-local patch centers: ref + offset, reflect-bounded
+    (gather_int_kernel.cu:70-76). flows [B,HD,T,nH,nW,K,3]."""
+    dt = flows[..., 0]
+    dh = flows[..., 1]
+    dw = flows[..., 2]
+    t = ref_t[None, None, :, None, None, None]
+    h = ref_h[None, None, None, :, None, None]
+    w = ref_w[None, None, None, None, :, None]
+    if is_int:
+        nl_t = reflect_bounds(t + dt.astype(jnp.int32), T)
+        nl_h = reflect_bounds(h + dh.astype(jnp.int32), H)
+        nl_w = reflect_bounds(w + dw.astype(jnp.int32), W)
+    else:
+        nl_t = reflect_bounds(t + jnp.round(dt).astype(jnp.int32), T)
+        nl_h = reflect_bounds(h.astype(flows.dtype) + dh, H)
+        nl_w = reflect_bounds(w.astype(flows.dtype) + dw, W)
+    return nl_t, nl_h, nl_w  # [B,HD,T,nH,nW,K]
+
+
+def _gather_nl_pixels(vid_cf, nl_t, ph, pw, T, H, W, is_int):
+    """Read vid at the (possibly fractional) non-local pixel; invalid reads
+    return 0. vid_cf [B,HD,F,T*H*W]; coords [B,HD,T,nH,nW,K].
+    Returns [B,HD,F,T,nH,nW,K]."""
+    B, HD, F, _ = vid_cf.shape
+    tail = nl_t.shape[2:]
+
+    def take(idx):
+        n = int(np.prod(tail))
+        idx2 = jnp.broadcast_to(idx, (B, HD) + tail).reshape(B, HD, 1, n)
+        out = jnp.take_along_axis(vid_cf, idx2, axis=3)
+        return out.reshape((B, HD, F) + tail)
+
+    if is_int:
+        ok = in_bounds(ph, H) & in_bounds(pw, W)
+        idx = (nl_t * H + jnp.clip(ph, 0, H - 1)) * W + jnp.clip(pw, 0, W - 1)
+        pix = take(idx)
+        return jnp.where(ok[:, :, None], pix, 0.)
+    h0 = jnp.floor(ph)
+    w0 = jnp.floor(pw)
+    ok = in_bounds(ph, H) & in_bounds(pw, W)
+    pix = 0.
+    for di in (0, 1):
+        for dj in (0, 1):
+            hc = h0 + di
+            wc = w0 + dj
+            wgt = (jnp.maximum(0., 1. - jnp.abs(hc - ph))
+                   * jnp.maximum(0., 1. - jnp.abs(wc - pw)))
+            wgt = jnp.where(in_bounds(hc, H) & in_bounds(wc, W), wgt, 0.)
+            idx = (nl_t * H + jnp.clip(hc, 0, H - 1).astype(jnp.int32)) * W \
+                + jnp.clip(wc, 0, W - 1).astype(jnp.int32)
+            pix = pix + jnp.where(ok, wgt, 0.)[:, :, None] * take(idx)
+    return pix
+
+
+def nl_gather_stack(vid, weights, flows, *, ps, stride0, pt=1, dilation=1,
+                    reflect_bounds_=True, use_adj=False, itype="float"):
+    """NonLocalGather: weighted non-local patch stack.
+
+    vid [B,HD,T,F,H,W]; weights [B,HD,T,nH,nW,K]; flows [B,HD,T,nH,nW,K,3]
+    (relative offsets) -> stack [B,HD,K,T,F,H,W], count-normalized.
+    """
+    B, HD, T, F, H, W = vid.shape
+    K = flows.shape[-2]
+    nH, nW = num_queries(H, W, stride0)
+    is_int = (itype == "int")
+    patch_offset = 0 if use_adj else -(ps // 2)
+    if is_int and jnp.issubdtype(flows.dtype, jnp.floating):
+        flows = jnp.round(flows)
+    weights = weights.reshape(B, HD, T, nH, nW, K)
+    flows = flows.reshape(B, HD, T, nH, nW, K, 3)
+
+    ref_t = jnp.arange(T, dtype=jnp.int32)
+    ref_h = jnp.arange(nH, dtype=jnp.int32) * stride0
+    ref_w = jnp.arange(nW, dtype=jnp.int32) * stride0
+    nl_t, nl_h, nl_w = _nl_centers(flows, ref_t, ref_h, ref_w, T, H, W, is_int)
+
+    vid_cf = vid.reshape(B, HD, T, F, H * W).transpose(0, 1, 3, 2, 4) \
+        .reshape(B, HD, F, T * H * W)
+
+    stack = jnp.zeros((B, HD, K, T, F, H, W), vid.dtype)
+    for pk in range(pt):
+        nt = reflect_bounds(nl_t + pk, T)
+        for pi in range(ps):
+            dHp = dilation * (pi + patch_offset)
+            h0, h1, sh = _valid_ref_slices(nH, stride0, dHp, H)
+            ph = nl_h + dHp
+            if reflect_bounds_:
+                ph = reflect_bounds(ph, H)
+            for pj in range(ps):
+                dWp = dilation * (pj + patch_offset)
+                w0, w1, sw = _valid_ref_slices(nW, stride0, dWp, W)
+                if h0 >= h1 or w0 >= w1:
+                    continue
+                pw = nl_w + dWp
+                if reflect_bounds_:
+                    pw = reflect_bounds(pw, W)
+                pix = _gather_nl_pixels(vid_cf, nt, ph, pw, T, H, W, is_int)
+                # [B,HD,F,T,nH,nW,K] -> weighted, to stack layout
+                val = pix * weights[:, :, None]
+                val = jnp.transpose(val, (0, 1, 6, 3, 2, 4, 5))
+                stack = stack.at[:, :, :, :, :, sh, sw].add(
+                    val[..., h0:h1, w0:w1])
+
+    counts = jnp.asarray(
+        patch_overlap_counts(H, W, ps, stride0, dilation, use_adj), vid.dtype)
+    return stack / (counts + 1e-10)
+
+
+def default_out_size(inH, inW, nH, nW, strideOut, outH=0, outW=0):
+    """Output-size defaulting shared by gather_add/scatter_add
+    (gather_add.py:66-72)."""
+    if outH == 0 or outH is None:
+        outH = strideOut * nH if strideOut == 1 else inH
+    if outW == 0 or outW is None:
+        outW = strideOut * nW if strideOut == 1 else inW
+    return outH, outW
+
+
+def nl_gather_add(vid, weights, flows, *, ps, strideIn, strideOut, pt=1,
+                  dilation=1, reflect_bounds_=True, use_adj=False,
+                  itype="float", outH=0, outW=0):
+    """NonLocalGatherAdd (gather_add_kernel.cu:60-135): weighted patch sum
+    directly into an output video [B,HD,T,F,outH,outW]. Queries read their K
+    non-local patches from the strideIn grid of vid and write at the
+    strideOut grid of the output; normalized by out-grid overlap counts."""
+    B, HD, T, F, H, W = vid.shape
+    K = flows.shape[-2]
+    nH, nW = num_queries(H, W, strideIn)
+    outH, outW = default_out_size(H, W, nH, nW, strideOut, outH, outW)
+    is_int = (itype == "int")
+    patch_offset = 0 if use_adj else -(ps // 2)
+    if is_int and jnp.issubdtype(flows.dtype, jnp.floating):
+        flows = jnp.round(flows)
+    weights = weights.reshape(B, HD, T, nH, nW, K)
+    flows = flows.reshape(B, HD, T, nH, nW, K, 3)
+
+    ref_t = jnp.arange(T, dtype=jnp.int32)
+    in_h = jnp.arange(nH, dtype=jnp.int32) * strideIn
+    in_w = jnp.arange(nW, dtype=jnp.int32) * strideIn
+    nl_t, nl_h, nl_w = _nl_centers(flows, ref_t, in_h, in_w, T, H, W, is_int)
+    # drop the -1e8 "invalid" fill entries (gather_add_kernel.cu:71-73)
+    finite = (jnp.abs(flows[..., 1]) < 1e7) & (jnp.abs(flows[..., 2]) < 1e7)
+
+    vid_cf = vid.reshape(B, HD, T, F, H * W).transpose(0, 1, 3, 2, 4) \
+        .reshape(B, HD, F, T * H * W)
+
+    out = jnp.zeros((B, HD, T, F, outH, outW), vid.dtype)
+    for pk in range(pt):
+        nt = reflect_bounds(nl_t + pk, T)
+        for pi in range(ps):
+            dHp = dilation * (pi + patch_offset)
+            h0, h1, sh = _valid_ref_slices(nH, strideOut, dHp, outH)
+            ph = nl_h + dHp
+            if reflect_bounds_:
+                ph = reflect_bounds(ph, H)
+            for pj in range(ps):
+                dWp = dilation * (pj + patch_offset)
+                w0, w1, sw = _valid_ref_slices(nW, strideOut, dWp, outW)
+                if h0 >= h1 or w0 >= w1:
+                    continue
+                pw = nl_w + dWp
+                if reflect_bounds_:
+                    pw = reflect_bounds(pw, W)
+                pix = _gather_nl_pixels(vid_cf, nt, ph, pw, T, H, W, is_int)
+                wk = jnp.where(finite, weights, 0.)
+                val = jnp.sum(pix * wk[:, :, None], axis=-1)
+                val = jnp.transpose(val, (0, 1, 3, 2, 4, 5))
+                out = out.at[:, :, :, :, sh, sw].add(val[..., h0:h1, w0:w1])
+
+    counts = jnp.asarray(
+        patch_overlap_counts(outH, outW, ps, strideOut, dilation, use_adj),
+        vid.dtype)
+    return out / (counts + 1e-10)
+
+
+def nl_scatter_add(vid, weights, flows, *, ps, strideIn, strideOut, pt=1,
+                   dilation=1, reflect_bounds_=True, use_adj=False,
+                   itype="float", outH=0, outW=0):
+    """NonLocalScatterAdd (scatter_add_kernel.cu:62-140): transposed
+    aggregation — each query patch (read on the strideIn grid of vid) is
+    scattered, weighted, to its K non-local locations on the strideOut grid
+    of the output. Returns (out [B,HD,T,F,outH,outW], counts [outH,outW]);
+    the reference leaves the output *unnormalized* (scatter_add.py:105-107).
+
+    Needs a true scatter; `.at[].add` keeps it deterministic (unlike the
+    reference's atomicAdd). Bilinear (float) writes land on the rounded
+    center like the reference's int cast of the scatter destination.
+    """
+    B, HD, T, F, H, W = vid.shape
+    K = flows.shape[-2]
+    nH, nW = num_queries(H, W, strideIn)
+    outH, outW = default_out_size(H, W, nH, nW, strideOut, outH, outW)
+    is_int = (itype == "int")
+    patch_offset = 0 if use_adj else -(ps // 2)
+    if jnp.issubdtype(flows.dtype, jnp.floating):
+        flows = jnp.round(flows)
+    flows = flows.astype(jnp.int32)
+    weights = weights.reshape(B, HD, T, nH, nW, K)
+    flows = flows.reshape(B, HD, T, nH, nW, K, 3)
+
+    ref_t = jnp.arange(T, dtype=jnp.int32)
+    in_h = jnp.arange(nH, dtype=jnp.int32) * strideIn
+    in_w = jnp.arange(nW, dtype=jnp.int32) * strideIn
+    out_h = jnp.arange(nH, dtype=jnp.int32) * strideOut
+    out_w = jnp.arange(nW, dtype=jnp.int32) * strideOut
+    # scatter destinations: strideOut grid + offsets, always reflected
+    nl_t, nl_h, nl_w = _nl_centers(flows, ref_t, out_h, out_w, T, outH, outW,
+                                   True)
+    finite = (jnp.abs(flows[..., 1]) < 1e7) & (jnp.abs(flows[..., 2]) < 1e7)
+
+    vid_cf = vid.reshape(B, HD, T, F, H * W).transpose(0, 1, 3, 2, 4) \
+        .reshape(B, HD, F, T * H * W)
+    out_flat = jnp.zeros((B, HD, F, T * outH * outW + 1), vid.dtype)
+    cnt_flat = jnp.zeros(outH * outW + 1, vid.dtype)
+
+    t_g = ref_t[None, None, :, None, None, None]
+    h_g = in_h[None, None, None, :, None, None]
+    w_g = in_w[None, None, None, None, :, None]
+    bi = jnp.arange(B)[:, None, None, None]
+    hi_ = jnp.arange(HD)[None, :, None, None]
+    fi = jnp.arange(F)[None, None, :, None]
+    n = T * nH * nW * K
+    for pk in range(pt):
+        rt = t_g + pk  # ref time not reflected (scatter_add_kernel.cu:121)
+        nt = reflect_bounds(nl_t + pk, T) if reflect_bounds_ else nl_t + pk
+        tok = in_bounds(rt, T) & in_bounds(nt, T)
+        for pi in range(ps):
+            dHp = dilation * (pi + patch_offset)
+            rh = h_g + dHp
+            sh = nl_h + dHp
+            if reflect_bounds_:
+                sh = reflect_bounds(sh, outH)
+            for pj in range(ps):
+                dWp = dilation * (pj + patch_offset)
+                rw = w_g + dWp
+                sw = nl_w + dWp
+                if reflect_bounds_:
+                    sw = reflect_bounds(sw, outW)
+                ok = (finite & in_bounds(rh, H) & in_bounds(rw, W)
+                      & in_bounds(sh, outH) & in_bounds(sw, outW))
+                ridx = (jnp.clip(rt, 0, T - 1) * H
+                        + jnp.clip(rh, 0, H - 1)) * W + jnp.clip(rw, 0, W - 1)
+                ridx = jnp.broadcast_to(ridx, (B, HD, T, nH, nW, K))
+                pix = jnp.take_along_axis(
+                    vid_cf, ridx.reshape(B, HD, 1, n), axis=3) \
+                    .reshape(B, HD, F, T, nH, nW, K)
+                val = pix * weights[:, :, None]
+                val = jnp.where((ok & tok)[:, :, None], val, 0.)
+                sidx = (jnp.clip(nt, 0, T - 1) * outH
+                        + jnp.clip(sh, 0, outH - 1)) * outW \
+                    + jnp.clip(sw, 0, outW - 1)
+                sidx = jnp.broadcast_to(sidx, (B, HD, T, nH, nW, K))
+                sidx_f = jnp.where(
+                    jnp.broadcast_to(ok & tok, sidx.shape), sidx,
+                    T * outH * outW).reshape(B, HD, 1, n)
+                out_flat = out_flat.at[bi, hi_, fi, sidx_f].add(
+                    val.reshape(B, HD, F, n))
+                # counts: b=0, hd=0, query frame 0, all k (kernel :110-112)
+                if pk == 0:
+                    cidx = (jnp.clip(sh, 0, outH - 1) * outW
+                            + jnp.clip(sw, 0, outW - 1))
+                    cidx = jnp.broadcast_to(cidx, (B, HD, T, nH, nW, K))
+                    cidx0 = jnp.where(ok, cidx, outH * outW)[0, 0, 0]
+                    cnt_flat = cnt_flat.at[cidx0.reshape(-1)].add(1.)
+
+    out = out_flat[..., :-1].reshape(B, HD, F, T, outH, outW) \
+        .transpose(0, 1, 3, 2, 4, 5)
+    counts = cnt_flat[:-1].reshape(outH, outW)
+    return out, counts

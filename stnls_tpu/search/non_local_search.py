@@ -1,0 +1,256 @@
+"""NonLocalSearch: the centerpiece search op (TPU-native).
+
+API parity with reference lib/stnls/search/non_local_search.py: a module
+class, a functional form (`_apply`), and a config-dict factory
+(`extract_config`/`init`). The compute path is stnls_tpu.ops.nls (pure jnp,
+differentiable); the self_action/topk pipeline mirrors
+lib/stnls/search/impl/non_local_search.py:89-139.
+
+Gradient policy knobs (`k_agg`, `normalize_bwd`) are implemented as a
+custom_vjp wrapper that edits the cotangents before/after the automatic
+VJP — equivalent to the reference's backward-kernel-side truncation
+(impl/non_local_search.py:154-158) and fold-count normalization
+(search/shared.py:59-97), without bespoke backward kernels.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stnls_tpu.utils.config import extract_pairs
+from stnls_tpu.ops.nls import nls_search_volume, dist_type_select
+from stnls_tpu.ops import anchor as anchor_ops
+from stnls_tpu.ops import topk as topk_ops
+from stnls_tpu.search.utils import shape_vids, shape_flows, empty_flows
+
+
+def _self_action_topk(dists, inds3, *, self_action, topk_mode, k, wt,
+                      dist_type):
+    """Apply the self_action menu then top-K.
+
+    In: internal volume layout dists [B,HD,T,W_t,ws,ws,nH,nW],
+    inds3 [3,B,HD,T,W_t,ws,ws,nH,nW]. Out: reference layout
+    dists [B,HD,T,nH,nW,K], inds [B,HD,T,nH,nW,K,3].
+    """
+    B, HD, T, W_t, ws, _, nH, nW = dists.shape
+    Q = T * nH * nW
+    # queries major, search cells minor: [B,HD,Q,W_t,ws*ws]
+    dists = jnp.transpose(dists, (0, 1, 2, 6, 7, 3, 4, 5)) \
+        .reshape(B, HD, Q, W_t, ws * ws)
+    inds3 = jnp.transpose(inds3, (0, 1, 2, 3, 7, 8, 4, 5, 6)) \
+        .reshape(3, B, HD, Q, W_t, ws * ws)
+
+    menu = [None, "anchor", "anchor_self", "anchor_each", "remove",
+            "remove_ref_frame", "anchor_and_remove_ref_frame"]
+    assert self_action in menu, f"Unknown self_action [{self_action}]"
+    anchor_flag = (self_action is not None) and ("anchor" in self_action)
+
+    if self_action in ("anchor", "anchor_self"):
+        d, i, _ = anchor_ops.anchor_self(
+            dists.reshape(B, HD, Q, -1), inds3.reshape(3, B, HD, Q, -1))
+        dists = d.reshape(B, HD, Q, W_t, ws * ws)
+        inds3 = i.reshape(3, B, HD, Q, W_t, ws * ws)
+    elif self_action == "anchor_each":
+        dists, inds3, _ = anchor_ops.anchor_self_time(dists, inds3)
+    elif self_action == "remove":
+        d, i, _ = anchor_ops.anchor_self(
+            dists.reshape(B, HD, Q, -1), inds3.reshape(3, B, HD, Q, -1))
+        dists = d[..., 1:]
+        inds3 = i[..., 1:]
+        W_t = 1  # flattened below; groups no longer meaningful
+    elif self_action == "remove_ref_frame":
+        assert wt > 0, "Cannot remove ref frame if not searching across time."
+        dists = dists[..., 1:, :]
+        inds3 = inds3[..., 1:, :]
+    elif self_action == "anchor_and_remove_ref_frame":
+        assert wt > 0, "Cannot remove ref frame if not searching across time."
+        dists = dists[..., 1:, :]
+        inds3 = inds3[..., 1:, :]
+        dists, inds3, _ = anchor_ops.anchor_self_time(dists, inds3)
+
+    _, descending, _ = dist_type_select(dist_type)
+    if topk_mode == "all":
+        dists = dists.reshape(B, HD, Q, -1)
+        inds3 = inds3.reshape(3, B, HD, Q, -1)
+        dists, inds3 = topk_ops.topk(dists, inds3, k, descending,
+                                     anchor=anchor_flag)
+    elif topk_mode == "each":
+        dists, inds3 = topk_ops.topk_each(dists, inds3, k, descending,
+                                          anchor_self=anchor_flag)
+    elif topk_mode == "none":
+        assert k <= 0, "If topk_mode is 'none' then k must be <= 0"
+    else:
+        raise ValueError(f"Unknown topk_mode [{topk_mode}]")
+
+    dists = dists.reshape(B, HD, T, nH, nW, -1)
+    inds = jnp.moveaxis(inds3.reshape(3, B, HD, T, nH, nW, -1), 0, -1)
+    return dists, inds
+
+
+def patch_fold_counts(H, W, ps, stride):
+    """Pixel coverage counts of a ps x ps / stride patch fold (zero padding,
+    center-cropped) — the normalize_bwd divisor (search/shared.py:59-97)."""
+    nH = (H - 1) // stride + 1
+    nW = (W - 1) // stride + 1
+    pad = (ps - 1) // 2
+    Hp, Wp = H + 2 * pad, W + 2 * pad
+    counts = np.zeros((Hp, Wp), np.float32)
+    for ih in range(nH):
+        for iw in range(nW):
+            counts[ih * stride:ih * stride + ps,
+                   iw * stride:iw * stride + ps] += 1.
+    sH, sW = (Hp - H + 1) // 2, (Wp - W + 1) // 2
+    return counts[sH:sH + H, sW:sW + W]
+
+
+def nls_pipeline(vid0, vid1, flows, cfg):
+    """Full forward: search volume -> self_action -> top-K."""
+    dists, inds3 = nls_search_volume(
+        vid0, vid1, flows, ws=cfg["ws"], wt=cfg["wt"], ps=cfg["ps"],
+        stride0=cfg["stride0"], stride1=cfg["stride1"],
+        strideQ=cfg["strideQ"], dist_type=cfg["dist_type"],
+        dilation=cfg["dilation"], pt=cfg["pt"],
+        reflect_bounds_=cfg["reflect_bounds"], full_ws=cfg["full_ws"],
+        use_adj=cfg["use_adj"], off_Hq=cfg["off_Hq"], off_Wq=cfg["off_Wq"],
+        itype=cfg["itype"], ws_interior=cfg["ws_interior"])
+    return _self_action_topk(
+        dists, inds3, self_action=cfg["self_action"],
+        topk_mode=cfg["topk_mode"], k=cfg["k"], wt=cfg["wt"],
+        dist_type=cfg["dist_type"])
+
+
+def _make_grad_policy_fn(cfg):
+    """Wrap nls_pipeline with k_agg truncation / normalize_bwd when asked."""
+    k_agg = cfg["k_agg"]
+    normalize_bwd = cfg["normalize_bwd"]
+    base = partial(nls_pipeline, cfg=dict(cfg))
+    if (k_agg is None or k_agg <= 0) and not normalize_bwd:
+        return jax.jit(base)
+
+    @jax.custom_vjp
+    def fn(vid0, vid1, flows):
+        return base(vid0, vid1, flows)
+
+    def fwd(vid0, vid1, flows):
+        out, vjp = jax.vjp(base, vid0, vid1, flows)
+        return out, (vjp, vid0.shape)
+
+    def bwd(res, cts):
+        vjp, vshape = res
+        g_dists, g_inds = cts
+        if k_agg is not None and k_agg > 0:
+            keep = jnp.arange(g_dists.shape[-1]) < k_agg
+            g_dists = jnp.where(keep, g_dists, 0.)
+            g_inds = jnp.where(keep[:, None], g_inds, 0.)
+        g_vid0, g_vid1, g_flows = vjp((g_dists, g_inds))
+        if normalize_bwd:
+            H, W = vshape[-2:]
+            c0 = jnp.asarray(patch_fold_counts(H, W, cfg["ps"], cfg["stride0"]))
+            c1 = jnp.asarray(patch_fold_counts(H, W, cfg["ps"],
+                                               int(cfg["stride1"])))
+            g_vid0 = g_vid0 / c0
+            g_vid1 = g_vid1 / c1
+        return g_vid0, g_vid1, g_flows
+
+    fn.defvjp(fwd, bwd)
+    return jax.jit(fn)
+
+
+class NonLocalSearch:
+    """Space-time non-local search module (reference NonLocalSearch:122-218).
+
+    Call patterns:
+      search(vid0, vid1)                  -> zero flows
+      search(vid0, vid1, flows)           -> precomputed [B,(HD),T,W_t(-1),2,nH,nW]
+      search(vid0, vid1, fflow, bflow)    -> flows from stnls_tpu.nn.search_flow
+    """
+
+    def __init__(self, ws, wt, ps=1, k=-1, nheads=1, stride0=1, stride1=1,
+                 dist_type="l2", dilation=1, pt=1, self_action=None,
+                 topk_mode="all", ws_interior=0, reflect_bounds=True,
+                 full_ws=True, use_adj=False, normalize_bwd=False, k_agg=-1,
+                 off_Hq=0, off_Wq=0, strideQ=None, itype="float"):
+        self.cfg = dict(
+            ws=ws, wt=wt, ps=ps, k=k, nheads=nheads, stride0=stride0,
+            stride1=stride1, dist_type=dist_type, dilation=dilation, pt=pt,
+            self_action=self_action, topk_mode=topk_mode,
+            ws_interior=ws_interior, reflect_bounds=reflect_bounds,
+            full_ws=full_ws, use_adj=use_adj, normalize_bwd=normalize_bwd,
+            k_agg=k_agg, off_Hq=off_Hq, off_Wq=off_Wq, strideQ=strideQ,
+            itype=itype)
+        for key, val in self.cfg.items():
+            setattr(self, key, val)
+        self._fn = _make_grad_policy_fn(self.cfg)
+
+    def __call__(self, *args):
+        assert self.ws > 0, "Must have nonzero spatial search window"
+        assert self.wt >= 0, "Must have nonnegative time search window"
+        vid0, vid1 = args[:2]
+        if len(args) == 4:
+            from stnls_tpu.nn import search_flow
+            flows = search_flow(args[2], args[3], self.wt, self.stride0)
+        elif len(args) == 3:
+            flows = args[2]
+        else:
+            vid0s = shape_vids(self.nheads, [vid0])[0]
+            flows = empty_flows(vid0s, self.wt, self.stride0)
+        vid0, vid1 = shape_vids(self.nheads, [vid0, vid1])
+        flows = shape_flows(self.nheads, flows)
+        return self._fn(vid0, vid1, flows)
+
+    forward = __call__
+
+    def flops(self, T, F, H, W):
+        nrefs = T * ((H - 1) // self.stride0 + 1) * ((W - 1) // self.stride0 + 1)
+        nsearch = self.ws * self.ws * (2 * self.wt + 1)
+        flops_per = 2 * F * self.ps * self.ps * self.pt
+        total = nrefs * nsearch * flops_per * self.nheads
+        if self.k > 0:
+            total += int(nrefs * nsearch * np.log(max(nsearch, 2)))
+        return total
+
+    def radius(self, *args):
+        return self.ws
+
+
+def _apply(vid0, vid1, flows, ws, wt, ps=1, k=-1, nheads=1, stride0=1,
+           stride1=1, dist_type="l2", dilation=1, pt=1, self_action=None,
+           topk_mode="all", ws_interior=0, reflect_bounds=True, full_ws=True,
+           use_adj=False, normalize_bwd=False, k_agg=-1, off_Hq=0, off_Wq=0,
+           strideQ=None, itype="float"):
+    """Functional API: stnls_tpu.search.nls(...)."""
+    search = NonLocalSearch(
+        ws, wt, ps, k, nheads=nheads, stride0=stride0, stride1=stride1,
+        dist_type=dist_type, dilation=dilation, pt=pt,
+        self_action=self_action, topk_mode=topk_mode,
+        ws_interior=ws_interior, reflect_bounds=reflect_bounds,
+        full_ws=full_ws, use_adj=use_adj, normalize_bwd=normalize_bwd,
+        k_agg=k_agg, off_Hq=off_Hq, off_Wq=off_Wq, strideQ=strideQ,
+        itype=itype)
+    return search(vid0, vid1, flows)
+
+
+def extract_config(cfg, restrict=True):
+    pairs = {"ws": -1, "wt": -1, "ps": 1, "k": -1,
+             "nheads": 1, "dist_type": "l2",
+             "stride0": 1, "stride1": 1, "dilation": 1, "pt": 1,
+             "ws_interior": 0, "reflect_bounds": True, "full_ws": True,
+             "self_action": None, "use_adj": False,
+             "normalize_bwd": False, "k_agg": -1, "topk_mode": "all",
+             "off_Hq": 0, "off_Wq": 0, "strideQ": None, "itype": "float"}
+    return extract_pairs(cfg, pairs, restrict=restrict)
+
+
+def init(cfg):
+    cfg = extract_config(cfg, False)
+    return NonLocalSearch(
+        cfg.ws, cfg.wt, cfg.ps, cfg.k, nheads=cfg.nheads,
+        stride0=cfg.stride0, stride1=cfg.stride1, dist_type=cfg.dist_type,
+        dilation=cfg.dilation, pt=cfg.pt, self_action=cfg.self_action,
+        topk_mode=cfg.topk_mode, ws_interior=cfg.ws_interior,
+        reflect_bounds=cfg.reflect_bounds, full_ws=cfg.full_ws,
+        use_adj=cfg.use_adj, normalize_bwd=cfg.normalize_bwd,
+        k_agg=cfg.k_agg, off_Hq=cfg.off_Hq, off_Wq=cfg.off_Wq,
+        strideQ=cfg.strideQ, itype=cfg.itype)

@@ -1,0 +1,15 @@
+"""Test harness config: run the whole suite on a virtual 8-device CPU mesh
+so sharding tests work without multi-chip hardware (the driver separately
+dry-runs the multi-chip path; bench.py runs on the real TPU)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,161 @@
+"""NonLocalSearch core vs the naive loop ground truth.
+
+Mirrors the reference's equivalence-testing strategy
+(tests/search/test_non_local_search_int.py, *_bilin2d.py): the vectorized
+jnp path must match an independent naive implementation over a grid of
+knobs, on both int and float (bilinear) index paths, including boundary
+windows (full_ws) and fractional stride1.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from stnls_tpu.ops.nls import nls_search_core
+from stnls_tpu.testing.nls_gt import nls_search_gt
+from stnls_tpu.search.non_local_search import NonLocalSearch
+
+
+def make_data(B=1, HD=1, T=3, F=3, H=10, W=10, stride0=1, wt=1, seed=0,
+              flow_mag=2.0, int_flows=False):
+    rng = np.random.default_rng(seed)
+    vid0 = rng.standard_normal((B, HD, T, F, H, W)).astype(np.float32)
+    vid1 = rng.standard_normal((B, HD, T, F, H, W)).astype(np.float32)
+    nH = (H - 1) // stride0 + 1
+    nW = (W - 1) // stride0 + 1
+    W_t = min(2 * wt + 1, T)
+    flows = flow_mag * rng.standard_normal(
+        (B, HD, T, W_t - 1, 2, nH, nW)).astype(np.float32)
+    if int_flows:
+        flows = np.round(flows)
+    return jnp.asarray(vid0), jnp.asarray(vid1), jnp.asarray(flows)
+
+
+CONFIGS = [
+    # ws, wt, ps, stride0, stride1, dist_type, itype, full_ws
+    dict(ws=3, wt=1, ps=1, stride0=1, stride1=1, dist_type="l2", itype="int"),
+    dict(ws=3, wt=1, ps=3, stride0=1, stride1=1, dist_type="prod", itype="int"),
+    dict(ws=5, wt=0, ps=3, stride0=2, stride1=1, dist_type="l2", itype="int"),
+    dict(ws=3, wt=1, ps=1, stride0=1, stride1=1, dist_type="l2", itype="float"),
+    dict(ws=3, wt=1, ps=3, stride0=1, stride1=0.5, dist_type="prod", itype="float"),
+    dict(ws=5, wt=1, ps=3, stride0=2, stride1=1, dist_type="l2", itype="float"),
+    dict(ws=3, wt=1, ps=2, stride0=1, stride1=1, dist_type="l2", itype="float"),
+    dict(ws=3, wt=1, ps=3, stride0=1, stride1=1, dist_type="l2", itype="float",
+         full_ws=False),
+    dict(ws=3, wt=2, ps=1, stride0=1, stride1=1, dist_type="l2", itype="float",
+         pt=2),
+]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS)
+def test_search_matches_gt(cfg):
+    cfg = dict(cfg)
+    full_ws = cfg.pop("full_ws", True)
+    pt = cfg.pop("pt", 1)
+    T = 4 if pt > 1 else 3
+    vid0, vid1, flows = make_data(T=T, stride0=cfg["stride0"], wt=cfg["wt"],
+                                  int_flows=(cfg["itype"] == "int"))
+    kw = dict(cfg, full_ws=full_ws, pt=pt)
+    dists, inds = nls_search_core(vid0, vid1, flows, **kw)
+    dists_gt, inds_gt = nls_search_gt(
+        np.asarray(vid0), np.asarray(vid1), np.asarray(flows), **kw)
+
+    d = np.asarray(dists)
+    valid = np.isfinite(dists_gt)
+    assert valid.any()
+    np.testing.assert_allclose(d[valid], dists_gt[valid], rtol=2e-4, atol=2e-4)
+    # invalid cells marked identically
+    np.testing.assert_array_equal(np.isfinite(d), valid)
+    np.testing.assert_allclose(np.asarray(inds, np.float64), inds_gt,
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_int_float_agree_at_integer_flows():
+    """bilin2d at integer flows == int kernel (reference
+    test_non_local_search_bilin2d.py:58-143)."""
+    vid0, vid1, flows = make_data(int_flows=True)
+    kw = dict(ws=3, wt=1, ps=3, stride0=1, stride1=1, dist_type="l2")
+    d_int, i_int = nls_search_core(vid0, vid1, flows, itype="int", **kw)
+    d_flt, i_flt = nls_search_core(vid0, vid1, flows, itype="float", **kw)
+    vi = np.isfinite(np.asarray(d_int))
+    vf = np.isfinite(np.asarray(d_flt))
+    np.testing.assert_array_equal(vi, vf)
+    np.testing.assert_allclose(np.asarray(d_int)[vi], np.asarray(d_flt)[vf],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(i_int, np.float32),
+                               np.asarray(i_flt), atol=1e-5)
+
+
+def test_module_pipeline_anchor_topk():
+    """Anchored ordering: slot 0 is the zero-offset self match
+    (reference test_fwd_anchor)."""
+    vid0, vid1, flows = make_data(HD=2, F=4)
+    search = NonLocalSearch(ws=3, wt=1, ps=1, k=5, nheads=2,
+                            self_action="anchor", itype="float")
+    # [B,HD,T,F,H,W] -> [B,T,(HD F),H,W] input form
+    v0 = jnp.transpose(vid0, (0, 2, 1, 3, 4, 5)).reshape(1, 3, 8, 10, 10)
+    v1 = jnp.transpose(vid1, (0, 2, 1, 3, 4, 5)).reshape(1, 3, 8, 10, 10)
+    dists, inds = search(v0, v1, flows)
+    assert dists.shape == (1, 2, 3, 10, 10, 5)
+    assert inds.shape == (1, 2, 3, 10, 10, 5, 3)
+    np.testing.assert_allclose(np.asarray(inds)[..., 0, :], 0., atol=1e-6)
+    # anchored dist equals the self l2 distance (vid0 vs vid1 at same loc)
+    d0 = np.asarray(dists)[..., 0]
+    self_l2 = np.sum((np.asarray(vid0) - np.asarray(vid1)) ** 2, axis=3)
+    self_l2 = np.transpose(self_l2, (0, 1, 2, 3, 4))
+    np.testing.assert_allclose(d0, self_l2, rtol=1e-4, atol=1e-4)
+
+
+def test_topk_sorted_and_gradients_flow():
+    vid0, vid1, flows = make_data()
+    search = NonLocalSearch(ws=3, wt=1, ps=3, k=4, itype="float",
+                            dist_type="l2")
+
+    def loss(v0, v1, fl):
+        d, i = search(v0, v1, fl)
+        return jnp.sum(d * d) + jnp.sum(i[..., 1:] ** 2)
+
+    g0, g1, gf = jax.grad(loss, argnums=(0, 1, 2))(vid0, vid1, flows)
+    assert np.isfinite(np.asarray(g0)).all()
+    assert np.isfinite(np.asarray(g1)).all()
+    assert np.isfinite(np.asarray(gf)).all()
+    assert np.abs(np.asarray(gf)).max() > 0  # flow grads really flow
+
+    d, _ = search(vid0, vid1, flows)
+    d = np.asarray(d)
+    assert (np.diff(d, axis=-1) >= -1e-5).all()  # ascending for l2
+
+
+def test_flow_gradcheck_away_from_integers():
+    """Finite-difference check of flow gradients (reference
+    test_non_local_search_bilin2d.py:382-463; valid only away from integer
+    coordinates where bilinear weights are smooth)."""
+    vid0, vid1, flows = make_data(T=3, F=2, H=8, W=8, flow_mag=0.0)
+    flows = flows + 0.3  # push off integer lattice
+    # no top-k: selection swaps between +/-eps evals would break the FD check
+    search = NonLocalSearch(ws=3, wt=1, ps=1, k=-1, topk_mode="none",
+                            itype="float", dist_type="l2")
+
+    def loss(fl):
+        d, _ = search(vid0, vid1, fl)
+        # small slice keeps the FD numerically clean in float32
+        d = d[:, :, :, 2:4, 2:4]
+        return jnp.sum(jnp.where(jnp.isfinite(d), d, 0.))
+
+    g = jax.grad(loss)(flows)
+    eps = 1e-3
+    rng = np.random.default_rng(3)
+    checked = 0
+    for _ in range(16):
+        idx = (0, 0, rng.integers(0, flows.shape[2]),
+               rng.integers(0, flows.shape[3]), rng.integers(0, 2),
+               int(rng.integers(2, 4)), int(rng.integers(2, 4)))
+        e = jnp.zeros_like(flows).at[idx].set(eps)
+        fd = (loss(flows + e) - loss(flows - e)) / (2 * eps)
+        if abs(float(fd)) < 1e-3:
+            continue
+        np.testing.assert_allclose(np.asarray(g[idx]), np.asarray(fd),
+                                   rtol=5e-2, atol=1e-2)
+        checked += 1
+    assert checked >= 4
