@@ -12,5 +12,10 @@ __version__ = "0.1.0"
 
 from stnls_tpu import ops
 from stnls_tpu import search
+from stnls_tpu import agg
+from stnls_tpu import nn
+from stnls_tpu import normz
+from stnls_tpu import graph_opts
 from stnls_tpu import utils
 from stnls_tpu import testing
+from stnls_tpu import flow

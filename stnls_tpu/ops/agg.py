@@ -331,3 +331,61 @@ def nl_scatter_add(vid, weights, flows, *, ps, strideIn, strideOut, pt=1,
         .transpose(0, 1, 3, 2, 4, 5)
     counts = cnt_flat[:-1].reshape(outH, outW)
     return out, counts
+
+
+def nl_pool(vid, weights, flows, *, ps, stride0, pt=1, dilation=1,
+            reflect_bounds_=True, use_adj=False):
+    """PooledPatchSum (pool_int_kernel.cu:60-115): weighted patch sum onto a
+    ps-upsampled grid (outH = ps*nH). Int path only, like the reference
+    (pool.py:87-91 comments out bilin2d). Write positions are
+    wref + psHalf + (pi + patch_offset) with psHalf=(ps-1)//2+1 and ps
+    forced odd (pool.py:92), reproduced exactly. Weights below 1e-8 are
+    skipped (kernel :95)."""
+    B, HD, T, F, H, W = vid.shape
+    K = flows.shape[-2]
+    nH, nW = num_queries(H, W, stride0)
+    ps = ps + (1 - ps % 2)
+    psHalf = (ps - 1) // 2 + 1
+    outH, outW = ps * nH, ps * nW
+    patch_offset = 0 if use_adj else -(ps // 2)
+    flows = jnp.round(flows).astype(jnp.int32) \
+        if jnp.issubdtype(flows.dtype, jnp.floating) else flows.astype(jnp.int32)
+    weights = weights.reshape(B, HD, T, nH, nW, K)
+    flows = flows.reshape(B, HD, T, nH, nW, K, 3)
+    weights = jnp.where(weights < 1e-8, 0., weights)
+
+    ref_t = jnp.arange(T, dtype=jnp.int32)
+    in_h = jnp.arange(nH, dtype=jnp.int32) * stride0
+    in_w = jnp.arange(nW, dtype=jnp.int32) * stride0
+    nl_t, nl_h, nl_w = _nl_centers(flows, ref_t, in_h, in_w, T, H, W, True)
+
+    vid_cf = vid.reshape(B, HD, T, F, H * W).transpose(0, 1, 3, 2, 4) \
+        .reshape(B, HD, F, T * H * W)
+
+    out = jnp.zeros((B, HD, T, F, outH, outW), vid.dtype)
+    counts = np.zeros((outH, outW), np.float32)
+    for pk in range(pt):
+        nt = reflect_bounds(nl_t + pk, T)
+        for pi in range(ps):
+            dOut_h = psHalf + pi + patch_offset
+            h0, h1, sh = _valid_ref_slices(nH, ps, dOut_h, outH)
+            dHp = dilation * (pi + patch_offset)
+            ph = nl_h + dHp
+            if reflect_bounds_:
+                ph = reflect_bounds(ph, H)
+            for pj in range(ps):
+                dOut_w = psHalf + pj + patch_offset
+                w0, w1, sw = _valid_ref_slices(nW, ps, dOut_w, outW)
+                if h0 >= h1 or w0 >= w1:
+                    continue
+                dWp = dilation * (pj + patch_offset)
+                pw = nl_w + dWp
+                if reflect_bounds_:
+                    pw = reflect_bounds(pw, W)
+                pix = _gather_nl_pixels(vid_cf, nt, ph, pw, T, H, W, True)
+                val = jnp.sum(pix * weights[:, :, None], axis=-1)
+                val = jnp.transpose(val, (0, 1, 3, 2, 4, 5))
+                out = out.at[:, :, :, :, sh, sw].add(val[..., h0:h1, w0:w1])
+                if pk == 0:
+                    counts[sh, sw] += 1
+    return out / (jnp.asarray(counts) + 1e-10)

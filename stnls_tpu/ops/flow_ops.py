@@ -1,0 +1,217 @@
+"""Flow composition ops (TPU-native).
+
+Reference: lib/stnls/nn/search_flow.py + lib/csrc/nn/search_flow_kernel.cu
+(:17-90) and lib/stnls/nn/accumulate_flow.py + accumulate_flow_kernel.cu.
+
+Both ops compose per-frame optical flows into multi-frame offsets by
+repeatedly bilinearly sampling the next frame's flow at the current
+accumulated position (`update_centers_flow_acc`, shared_flows.cu:76-107,
+which *reflects* out-of-bounds corners rather than zeroing them). Here the
+walk is a `lax.scan` over time steps, vectorized over every query, and
+differentiable — `jax.grad` replaces the hand-written backward kernels
+(search_flow.py:69-95's chain-rule buffer).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stnls_tpu.ops.geometry import reflect_bounds, num_queries
+
+
+def _sample_flow(flow, h, w, H, W):
+    """Bilinear sample `flow` [B,T,2,H,W] at float coords h,w [B,T,nH,nW];
+    out-of-bounds corners are reflect-indexed (shared_flows.cu:93-99).
+    Returns (dW, dH) components sampled at (h, w)."""
+    h0 = jnp.floor(h)
+    w0 = jnp.floor(w)
+    outW, outH = 0., 0.
+    B, T = flow.shape[:2]
+    flat = flow.reshape(B, T, 2, H * W)
+    for di in (0, 1):
+        for dj in (0, 1):
+            hc = h0 + di
+            wc = w0 + dj
+            wgt = (jnp.maximum(0., 1. - jnp.abs(hc - h))
+                   * jnp.maximum(0., 1. - jnp.abs(wc - w)))
+            hr = reflect_bounds(hc.astype(jnp.int32), H)
+            wr = reflect_bounds(wc.astype(jnp.int32), W)
+            idx = (hr * W + wr).reshape(B, T, -1)
+            fW = jnp.take_along_axis(flat[:, :, 0], idx, axis=2) \
+                .reshape(h.shape)
+            fH = jnp.take_along_axis(flat[:, :, 1], idx, axis=2) \
+                .reshape(h.shape)
+            outW = outW + wgt * fW
+            outH = outH + wgt * fH
+    return outW, outH
+
+
+def search_flow(fflow, bflow, wt, stride0=1):
+    """Compose fflow/bflow into the W_t-1 search-window offsets.
+
+    fflow/bflow [B,T,2,H,W] -> flows [B,T,W_t-1,2,nH,nW]; slot si-1 holds
+    the accumulated offset from frame ti to the si-th frame of the
+    boundary-shifted window (search_flow_kernel.cu:60-86).
+    """
+    B, T, _, H, W = fflow.shape
+    W_t = min(2 * wt + 1, T)
+    nH, nW = num_queries(H, W, stride0)
+    if wt <= 0:
+        return jnp.zeros((B, T, 0, 2, nH, nW), fflow.dtype)
+
+    # static walk tables per (ti, si)
+    tj_tab = np.zeros((T, W_t), np.int32)
+    for ti in range(T):
+        t_shift = min(0, ti - wt) + max(0, ti + wt - (T - 1))
+        t_max = min(T - 1, ti + wt - t_shift)
+        for si in range(W_t):
+            tj = ti + si
+            tj_tab[ti, si] = tj if tj <= t_max else t_max - si
+    # swap at step si: forward run just ended (search_flow_kernel.cu:69)
+    swaps = np.zeros((T, W_t), bool)
+    frame_pick = np.zeros((T, W_t), np.int32)  # frame index into f/b flow
+    use_fwd = np.zeros((T, W_t), bool)
+    for ti in range(T):
+        t_shift = min(0, ti - wt) + max(0, ti + wt - (T - 1))
+        t_max = min(T - 1, ti + wt - t_shift)
+        for si in range(1, W_t):
+            tj = int(tj_tab[ti, si])
+            swaps[ti, si] = (ti + si - 1) == t_max
+            use_fwd[ti, si] = tj > ti
+            frame_pick[ti, si] = tj - 1 if tj > ti else tj + 1
+
+    h_ref = (jnp.arange(nH, dtype=jnp.float32) * stride0)[None, None, :, None]
+    w_ref = (jnp.arange(nW, dtype=jnp.float32) * stride0)[None, None, None, :]
+    h_ref = jnp.broadcast_to(h_ref, (B, T, nH, nW)).astype(fflow.dtype)
+    w_ref = jnp.broadcast_to(w_ref, (B, T, nH, nW)).astype(fflow.dtype)
+
+    def step(carry, si_arrs):
+        h_curr, w_curr = carry
+        swap, fwd, pick = si_arrs
+        # reset the walk when wrapping from the forward run to backward
+        sw = swap[None, :, None, None]
+        h_curr = jnp.where(sw, h_ref, h_curr)
+        w_curr = jnp.where(sw, w_ref, w_curr)
+        # select per-ti flow frame: fflow[tj-1] forward, bflow[tj+1] backward
+        ff = jnp.take_along_axis(
+            fflow, pick[None, :, None, None, None], axis=1)
+        bf = jnp.take_along_axis(
+            bflow, pick[None, :, None, None, None], axis=1)
+        flow = jnp.where(fwd[None, :, None, None, None], ff, bf)
+        dW, dH = _sample_flow(flow, h_curr, w_curr, H, W)
+        h_curr = h_curr + dH
+        w_curr = w_curr + dW
+        out = jnp.stack([w_curr - w_ref, h_curr - h_ref], axis=2)
+        return (h_curr, w_curr), out
+
+    si_arrs = (jnp.asarray(swaps[:, 1:].T), jnp.asarray(use_fwd[:, 1:].T),
+               jnp.asarray(frame_pick[:, 1:].T))
+    (_, _), outs = jax.lax.scan(step, (h_ref, w_ref), si_arrs)
+    # outs [W_t-1,B,T,2,nH,nW] -> [B,T,W_t-1,2,nH,nW]
+    return jnp.moveaxis(outs, 0, 2)
+
+
+def accumulate_flow(fflow, bflow, stride0=1):
+    """All-pairs accumulated flows (nn/accumulate_flow.py:22-28):
+    returns (pfflow, pbflow), each [B,T,T-1,2,nH,nW]; pfflow[:,ti,k] is the
+    offset from frame ti to frame ti+k+1 (walk via fflow), pbflow[:,ti,k]
+    to frame ti-k-1 (walk via bflow)."""
+    B, T, _, H, W = fflow.shape
+    nH, nW = num_queries(H, W, stride0)
+    h_ref = (jnp.arange(nH, dtype=fflow.dtype) * stride0)[None, None, :, None]
+    w_ref = (jnp.arange(nW, dtype=fflow.dtype) * stride0)[None, None, None, :]
+    h_ref = jnp.broadcast_to(h_ref, (B, T, nH, nW))
+    w_ref = jnp.broadcast_to(w_ref, (B, T, nH, nW))
+
+    def walk(flow, direction):
+        # frame to sample at step k, walking from ti: forward uses
+        # fflow[ti+k], backward uses bflow[ti-k] (accumulate_flow_kernel.cu).
+        picks = np.zeros((T - 1, T), np.int32)
+        valid = np.zeros((T - 1, T), bool)
+        for ti in range(T):
+            for k in range(T - 1):
+                tj = ti + direction * k
+                ok = 0 <= ti + direction * (k + 1) < T
+                picks[k, ti] = min(max(tj, 0), T - 1)
+                valid[k, ti] = ok
+
+        def step(carry, arrs):
+            h_curr, w_curr = carry
+            pick, ok = arrs
+            fl = jnp.take_along_axis(
+                flow, pick[None, :, None, None, None], axis=1)
+            dW, dH = _sample_flow(fl, h_curr, w_curr, H, W)
+            okb = ok[None, :, None, None]
+            h_new = jnp.where(okb, h_curr + dH, h_curr)
+            w_new = jnp.where(okb, w_curr + dW, w_curr)
+            out = jnp.stack([w_new - w_ref, h_new - h_ref], axis=2)
+            return (h_new, w_new), out
+
+        arrs = (jnp.asarray(picks), jnp.asarray(valid))
+        _, outs = jax.lax.scan(step, (h_ref, w_ref), arrs)
+        return jnp.moveaxis(outs, 0, 2)  # [B,T,T-1,2,nH,nW]
+
+    return walk(fflow, +1), walk(bflow, -1)
+
+
+def extract_search_from_accumulated(pfflow, pbflow, wt, T):
+    """Slice the W_t-1 search-window offsets out of the all-pairs volume
+    (accumulate_flow.py:127-153)."""
+    B = pfflow.shape[0]
+    W_t = min(2 * wt + 1, T)
+    outs = []
+    for ti in range(T):
+        t_shift = min(0, ti - wt) + max(0, ti + wt - (T - 1))
+        t_max = min(T - 1, ti + wt - t_shift)
+        slots = []
+        for si in range(1, W_t):
+            tj = ti + si
+            tj = tj if tj <= t_max else t_max - si
+            if tj > ti:
+                slots.append(pfflow[:, ti, tj - ti - 1])
+            else:
+                slots.append(pbflow[:, ti, ti - tj - 1])
+        outs.append(jnp.stack(slots, axis=1))
+    return jnp.stack(outs, axis=1)  # [B,T,W_t-1,2,nH,nW]
+
+
+def index_grid(T, nH, nW, dtype=jnp.float32):
+    """Absolute (t,h,w) coordinate grid (accumulate_flow.py:218)."""
+    t = jnp.arange(T, dtype=dtype)[:, None, None]
+    h = jnp.arange(nH, dtype=dtype)[None, :, None]
+    w = jnp.arange(nW, dtype=dtype)[None, None, :]
+    grid = jnp.stack([jnp.broadcast_to(t, (T, nH, nW)),
+                      jnp.broadcast_to(h, (T, nH, nW)),
+                      jnp.broadcast_to(w, (T, nH, nW))], axis=0)
+    return grid
+
+
+def non_local_inds(fflow, bflow, ws, wt, stride0, stride1):
+    """Absolute float (t,h,w) coordinates of the whole search grid
+    (nn/non_local_inds.py:10-27 + non_local_inds_kernel.cu): the flow-shifted
+    window centers expanded over the ws x ws lattice, no distances."""
+    B, T, _, H, W = fflow.shape
+    nH, nW = num_queries(H, W, stride0)
+    W_t = min(2 * wt + 1, T)
+    flows = search_flow(fflow, bflow, wt, stride0)  # [B,T,W_t-1,2,nH,nW]
+    from stnls_tpu.ops.geometry import time_window_frames, search_offsets
+    tj_tab = jnp.asarray(time_window_frames(T, wt))
+    base_h = (jnp.arange(nH, dtype=fflow.dtype) * stride0)[None, None, :, None]
+    base_w = (jnp.arange(nW, dtype=fflow.dtype) * stride0)[None, None, None, :]
+    zero = jnp.zeros((B, T, 1, 2, nH, nW), flows.dtype)
+    flows_full = jnp.concatenate([zero, flows], axis=2)
+    ctr_h = reflect_bounds(base_h[:, :, None] + flows_full[:, :, :, 1], H)
+    ctr_w = reflect_bounds(base_w[:, :, None] + flows_full[:, :, :, 0], W)
+    off_h, off_w = search_offsets(ctr_h, ctr_w, float(stride1), ws, H, W,
+                                  True, False)
+    cells = jnp.arange(ws, dtype=fflow.dtype)
+    ph = ctr_h[..., None] + stride1 * (cells[:, None, None]
+                                       - off_h[..., None])  # [B,T,W_t,ws,nH,nW]
+    pw = ctr_w[..., None] + stride1 * (cells[:, None, None]
+                                       - off_w[..., None])
+    tj = jnp.broadcast_to(
+        tj_tab[None, :, :, None, None, None, None].astype(fflow.dtype),
+        (B, T, W_t, ws, ws, nH, nW))
+    ph = jnp.broadcast_to(ph[:, :, :, :, None], (B, T, W_t, ws, ws, nH, nW))
+    pw = jnp.broadcast_to(pw[:, :, :, None, :], (B, T, W_t, ws, ws, nH, nW))
+    return jnp.stack([tj, ph, pw], axis=0)  # [3,B,T,W_t,ws,ws,nH,nW]

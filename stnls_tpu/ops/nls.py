@@ -1,36 +1,41 @@
-"""Non-local search core (TPU-native, pure jnp).
+"""Non-local search cores (TPU-native, pure jnp).
 
-Implements the reference's flow-shifted grid search
+Implements the reference's flow-shifted grid searches
 (`lib/csrc/search/non_local_search_{int,bilin2d}_kernel.cu`,
-`lib/stnls/search/impl/non_local_search.py:23-140`) as a single vectorized,
-differentiable jnp program:
+`refinement_{int,bilin2d}_kernel.cu`,
+`lib/stnls/search/impl/non_local_search.py:23-140`) as vectorized,
+differentiable jnp programs built on one shared engine:
 
-  * queries live on a stride0 grid; each (query, time-slot st) gets a search
-    center = query position + optical-flow offset (reflect-bounded),
-  * a ws x ws lattice with spacing stride1 (possibly fractional) is laid
-    around the center, shifted to stay in-frame when full_ws=True,
-  * patchwise distances (prod or l2) over (pt, ps, ps, F) are accumulated,
-    with reflect-padded patch reads and bilinear interpolation of vid1 in the
-    float ("bilin2d") path,
-  * outputs are dists plus relative offsets (dt, dh, dw) from the query.
+  `lattice_search` — given per-(query, group) search centers, lay a ws x ws
+  lattice with spacing stride1 (possibly fractional) around each center
+  (shifted in-frame when full_ws=True), and accumulate patchwise distances
+  (prod or l2) over (pt, ps, ps, F) with reflect-padded patch reads and
+  bilinear interpolation of vid1 in the float ("bilin2d") path.
+
+  * NonLocalSearch: groups = the W_t temporal window slots; centers come
+    from optical-flow offsets (nls_search_volume).
+  * RefineSearch: groups = the Ks given per-query flows; centers come from
+    flows_k (refine_search_volume), reference refinement_bilin2d_kernel.cu.
 
 TPU layout notes (this is where the design diverges hard from the CUDA
 reference): every intermediate keeps the two *minor* axes large —
-[B,HD,T,W_t,ws,ws,nH,nW] with the (nH,nW) spatial grid minor — because TPU
-tiles arrays into (8,128) lanes and a trailing F=8 or (ws,ws)=(5,5) axis
-pads 16-64x. Gathers run channels-first ([B,HD,F,T*H*W] flattened) for the
-same reason, and the offset components travel as a *leading* [3, ...] axis
-until the API boundary.
+[B,HD,T,G,ws,ws,nH,nW] with the (nH,nW) spatial grid minor — because TPU
+tiles arrays into (8,128) lanes and a trailing F=8 or (ws,ws) axis pads
+16-64x. Gathers run one channel at a time from [B,HD,M] flattened frames
+(XLA assigns F-minor layouts to [..,F,N] gathers, padding 16x), and the
+offset components travel on a *leading* [3, ...] axis until the API
+boundary.
 
-Backward: the reference hand-writes three CUDA kernels (vid grads, vid grads
-with bilinear scatter, vid+flow grads with reflection-sign tracking,
-`nls_bilin2d.cu:95-291`, `shared_kernel.cu:918-1053`). Here the forward is
-built from jnp gathers and piecewise-linear reflection, so `jax.grad`
-derives all of them, with *deterministic* scatter-adds (the CUDA version
-needs atomicAdd and `nondet_tol` in its gradcheck).
+Backward: the reference hand-writes backward kernels per search flavor
+(vid grads, bilinear scatter, vid+flow grads with reflection-sign and
+kselect bookkeeping, `nls_bilin2d.cu:95-291`, `shared_kernel.cu:918-1053`,
+`refinement_bilin2d_kernel.cu:448-451`). Here the forwards are built from
+jnp gathers and piecewise-linear reflection, so `jax.grad` derives all of
+them, with *deterministic* scatter-adds (the CUDA version needs atomicAdd
+and `nondet_tol` in its gradcheck).
 
 The patch-pixel loop runs as a `lax.scan` over pt*ps*ps steps so the traced
-graph stays small while the (W_t, ws, ws) search lattice stays vectorized on
+graph stays small while the (G, ws, ws) search lattice stays vectorized on
 the VPU.
 """
 
@@ -46,23 +51,14 @@ from stnls_tpu.ops.geometry import (
 DIST_PROD = 0
 DIST_L2 = 1
 
+INVALID_IND = -1e8
+
 
 def dist_type_select(dist_type):
     menu = {"prod": DIST_PROD, "l2": DIST_L2}
     descending = {"prod": True, "l2": False}
     init_val = {"prod": -np.inf, "l2": np.inf}
     return menu[dist_type], descending[dist_type], init_val[dist_type]
-
-
-def _take_cf(vid_cf, idx):
-    """Channels-first gather: vid_cf [B,HD,F,M], idx [B?,HD?,...] ->
-    [B,HD,F,*idx.shape[2:]]. idx leading dims broadcast to (B,HD)."""
-    B, HD, F, M = vid_cf.shape
-    tail = idx.shape[2:]
-    n = int(np.prod(tail)) if tail else 1
-    idx2 = jnp.broadcast_to(idx, (B, HD) + tail).reshape(B, HD, 1, n)
-    out = jnp.take_along_axis(vid_cf, idx2, axis=3)
-    return out.reshape((B, HD, F) + tail)
 
 
 def _expand_flow_heads(flows, HD):
@@ -74,16 +70,182 @@ def _expand_flow_heads(flows, HD):
     return flows[:, jnp.asarray(reps, jnp.int32)]
 
 
+def lattice_search(vid0, vid1, ctr_t, ctr_h, ctr_w, *, ws, stride1,
+                   ref_h, ref_w, base_h, base_w, dist_type, ps,
+                   dilation=1, pt=1, patch_offset=0, reflect_bounds_=True,
+                   full_ws=True, off_Hq=0, off_Wq=0, is_int=False,
+                   cell_mask=None, edge_valid=None, G=None):
+    """Shared search engine.
+
+    ctr_t: int frame index per (b,hd,t,g,[nh,nw]) — broadcastable to
+      [B,HD,T,G,nH,nW]; ctr_h/ctr_w: (reflected) center coordinates,
+      same broadcast shape; int32 in the int path, video dtype otherwise.
+    ref_h/ref_w: [nH]/[nW] int query pixel grids (patch reads on vid0);
+    base_h/base_w: anchor grids the output offsets are relative to.
+    edge_valid: optional bool mask per (b,hd,t,g,nh,nw); False entries get
+      init-valued dists and INVALID_IND offsets (refinement's 1e8 skip).
+
+    Returns dists [B,HD,T,G,ws,ws,nH,nW], inds3 [3, ...same...].
+    """
+    B, HD, T, F, qH, qW = vid0.shape
+    kH, kW = vid1.shape[-2:]
+    nH, nW = ref_h.shape[0], ref_w.shape[0]
+    if G is None:
+        G = ctr_h.shape[3]
+    dtype = vid0.dtype
+    cdtype = jnp.int32 if is_int else dtype
+    t_ids = jnp.arange(T, dtype=jnp.int32)
+
+    # -- window offsets per center --
+    if cell_mask is None:
+        off_h, off_w = search_offsets(ctr_h, ctr_w, stride1, ws, kH, kW,
+                                      full_ws, is_int)
+        mask8 = None
+    else:
+        off_h, off_w, mask8 = cell_mask  # precomputed by caller
+
+    # -- lattice positions, cells-major / space-minor --
+    cells = jnp.arange(ws, dtype=cdtype)
+    s1 = jnp.asarray(stride1, cdtype)
+    # [B,HD,T,G,ws,nH,nW]
+    prop_h = ctr_h[..., None, :, :] + s1 * (cells[:, None, None]
+                                            - off_h[..., None, :, :])
+    prop_w = ctr_w[..., None, :, :] + s1 * (cells[:, None, None]
+                                            - off_w[..., None, :, :])
+    valid_patch = (in_bounds(prop_h, kH)[..., :, None, :, :] &
+                   in_bounds(prop_w, kW)[..., None, :, :, :])
+    # valid_patch: [B,HD,T,G,ws,ws,nH,nW]
+
+    # -- channels-first flattened videos --
+    v0_cf = vid0.reshape(B, HD, T, F, qH * qW).transpose(0, 1, 3, 2, 4) \
+        .reshape(B, HD, F, T * qH * qW)
+    v1_cf = vid1.reshape(B, HD, T, F, kH * kW).transpose(0, 1, 3, 2, 4) \
+        .reshape(B, HD, F, T * kH * kW)
+
+    # -- patch pixel offsets (static) --
+    pks, pis, pjs = np.meshgrid(np.arange(pt), np.arange(ps), np.arange(ps),
+                                indexing="ij")
+    pix_offsets = jnp.asarray(
+        np.stack([pks.ravel(), pis.ravel(), pjs.ravel()], 1), jnp.int32)
+
+    cell_shape = (B, HD, T, G, ws, ws, nH, nW)
+    ctr_t8 = ctr_t[..., None, None, :, :]  # [...,G,1,1,nH?,nW?]
+
+    def _take1(chan, idx):
+        """Per-channel gather: chan [B,HD,M] -> [B,HD,*idx.shape[2:]]."""
+        tail = idx.shape[2:]
+        n = int(np.prod(tail))
+        idx2 = jnp.broadcast_to(idx, (B, HD) + tail).reshape(B, HD, n)
+        return jnp.take_along_axis(chan, idx2, axis=2).reshape((B, HD) + tail)
+
+    def body(acc, pix_off):
+        pk, pi, pj = pix_off[0], pix_off[1], pix_off[2]
+        dH = dilation * (pi + patch_offset)
+        dW = dilation * (pj + patch_offset)
+
+        # -- reference pixel (always int reads) --
+        rt = reflect_bounds(t_ids + pk, T)  # stays in range for pk < T
+        rh = ref_h + off_Hq + dH
+        rw = ref_w + off_Wq + dW
+        if reflect_bounds_:
+            rh, rw = reflect_bounds(rh, qH), reflect_bounds(rw, qW)
+        v_ref = (in_bounds(rh, qH)[:, None] & in_bounds(rw, qW)[None, :])
+        ridx = (rt[:, None, None] * qH + jnp.clip(rh, 0, qH - 1)[None, :, None]) \
+            * qW + jnp.clip(rw, 0, qW - 1)[None, None, :]  # [T,nH,nW]
+        ridx = ridx[None, None]
+
+        # -- proposed pixel coordinates --
+        ptj = reflect_bounds(ctr_t8 + pk, T)
+        ph = prop_h[..., :, None, :, :] + jnp.asarray(dH, cdtype)
+        pw = prop_w[..., None, :, :, :] + jnp.asarray(dW, cdtype)
+        if reflect_bounds_:
+            ph, pw = reflect_bounds(ph, kH), reflect_bounds(pw, kW)
+        v_prop = in_bounds(ph, kH) & in_bounds(pw, kW)
+
+        if is_int:
+            corner_idx = [(ptj * kH + jnp.clip(ph, 0, kH - 1)) * kW
+                          + jnp.clip(pw, 0, kW - 1)]
+            corner_wgt = [None]
+        else:
+            h0 = jnp.floor(ph)
+            w0 = jnp.floor(pw)
+            corner_idx, corner_wgt = [], []
+            for di in (0, 1):
+                for dj in (0, 1):
+                    hc = h0 + di
+                    wc = w0 + dj
+                    wgt = (jnp.maximum(0., 1. - jnp.abs(hc - ph))
+                           * jnp.maximum(0., 1. - jnp.abs(wc - pw)))
+                    wgt = jnp.where(in_bounds(hc, kH) & in_bounds(wc, kW),
+                                    wgt, 0.)
+                    corner_idx.append(
+                        (ptj * kH + jnp.clip(hc, 0, kH - 1).astype(jnp.int32))
+                        * kW + jnp.clip(wc, 0, kW - 1).astype(jnp.int32))
+                    corner_wgt.append(jnp.broadcast_to(wgt, cell_shape))
+        corner_idx = [jnp.broadcast_to(ci, cell_shape) for ci in corner_idx]
+
+        # -- accumulate the F-contraction one channel at a time --
+        pair_ok = v_prop & v_ref[None, None, None, None, None, None]
+        contrib = jnp.zeros(cell_shape, dtype)
+        for f in range(F):
+            p0 = _take1(v0_cf[:, :, f], ridx)  # [B,HD,T,nH,nW]
+            p0 = p0[:, :, :, None, None, None]  # [B,HD,T,1,1,1,nH,nW]
+            if is_int:
+                p1 = _take1(v1_cf[:, :, f], corner_idx[0])
+            else:
+                p1 = 0.
+                for ci, cw in zip(corner_idx, corner_wgt):
+                    p1 = p1 + cw * _take1(v1_cf[:, :, f], ci)
+            if dist_type == "prod":
+                contrib = contrib + p0 * p1
+            else:
+                d = p0 - p1
+                contrib = contrib + d * d
+        contrib = jnp.where(pair_ok, contrib, 0.)
+        return acc + contrib, None
+
+    acc0 = jnp.zeros(cell_shape, dtype)
+    dists, _ = jax.lax.scan(body, acc0, pix_offsets)
+
+    # -- invalidate out-of-frame centers / unsearched cells / bad edges --
+    _, _, init_val = dist_type_select(dist_type)
+    inval = jnp.asarray(init_val, dtype)
+    dists = jnp.where(valid_patch, dists, inval)
+    if mask8 is not None:
+        dists = jnp.where(jnp.broadcast_to(mask8, dists.shape), dists, inval)
+    if edge_valid is not None:
+        ev = edge_valid[..., None, None, :, :]
+        dists = jnp.where(jnp.broadcast_to(ev, dists.shape), dists, inval)
+
+    # -- relative offsets (dt, dh, dw), component-leading --
+    dt = (ctr_t8 - t_ids[None, None, :, None, None, None, None, None]) \
+        .astype(cdtype)
+    dh = (prop_h - base_h[None, None, None, None, None, :, None]
+          .astype(cdtype))[..., :, None, :, :]
+    dw = (prop_w - base_w[None, None, None, None, None, None, :]
+          .astype(cdtype))[..., None, :, :, :]
+    inds3 = jnp.stack([
+        jnp.broadcast_to(dt, cell_shape).astype(cdtype),
+        jnp.broadcast_to(dh, cell_shape).astype(cdtype),
+        jnp.broadcast_to(dw, cell_shape).astype(cdtype),
+    ], axis=0)
+    fill = jnp.asarray(-100000000 if is_int else INVALID_IND, cdtype)
+    if mask8 is not None:
+        inds3 = jnp.where(jnp.broadcast_to(mask8[None], inds3.shape), inds3,
+                          fill)
+    if edge_valid is not None:
+        ev = edge_valid[None, ..., None, None, :, :]
+        inds3 = jnp.where(jnp.broadcast_to(ev, inds3.shape), inds3, fill)
+    return dists, inds3
+
+
 def nls_search_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
                       strideQ=None, dist_type="l2", dilation=1, pt=1,
                       reflect_bounds_=True, full_ws=True, use_adj=False,
                       off_Hq=0, off_Wq=0, itype="float", ws_interior=0):
-    """Exhaustive search volume, internal TPU-friendly layout.
+    """Exhaustive NonLocalSearch volume, internal TPU-friendly layout.
 
-    Returns (dists, inds3):
-      dists [B,HD,T,W_t,ws,ws,nH,nW] (invalid cells = +/-inf)
-      inds3 [3,B,HD,T,W_t,ws,ws,nH,nW] relative (dt,dh,dw), float or int32.
-
+    Returns (dists [B,HD,T,W_t,ws,ws,nH,nW], inds3 [3, ...]).
     vid0/vid1: [B,HD,T,F,H,W]; flows: [B,HDf,T,W_t or W_t-1,2,nH,nW].
     """
     B, HD, T, F, qH, qW = vid0.shape
@@ -105,14 +267,12 @@ def nls_search_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
     else:
         stride1 = float(stride1)
         ws_interior = ws  # float kernel has no ws_interior
-    dtype = vid0.dtype
-    cdtype = jnp.int32 if is_int else dtype
+    cdtype = jnp.int32 if is_int else vid0.dtype
 
     # -- query grids --
     # int path: ref grid strides by strideQ over (qH,qW); window anchors (adj)
     # stride by stride0 over (kH,kW). float path: both coincide
     # (non_local_search_bilin2d_kernel.cu:98-100).
-    t_ids = jnp.arange(T, dtype=jnp.int32)
     ref_h = (jnp.arange(nH, dtype=jnp.int32) * strideQ) % qH
     ref_w = (jnp.arange(nW, dtype=jnp.int32) * strideQ) % qW
     adj_h = (jnp.arange(nH, dtype=jnp.int32) * stride0) % kH
@@ -120,24 +280,28 @@ def nls_search_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
     if not is_int:
         adj_h, adj_w = ref_h, ref_w
 
-    # -- temporal window: tj per (t, st) --
+    # -- temporal window + centers --
     tj_tab = jnp.asarray(time_window_frames(T, wt))  # [T, W_t]
-
-    # -- search centers: [B,HD,T,W_t,nH,nW] --
     flows = _expand_flow_heads(flows, HD)
     base_h = adj_h[None, None, None, None, :, None].astype(cdtype)
     base_w = adj_w[None, None, None, None, None, :].astype(cdtype)
+    # flow layout: [...,0,:,:] = dW, [...,1,:,:] = dH.
+    # NOTE: slice the component axis *before* padding the slot axis — the
+    # axon/TPU XLA stack miscompiles concatenate(axis=3) followed by a
+    # slice on axis 4 (both components read component 0); slicing first
+    # sidesteps it (regression test: tests/search/test_jit_consistency.py).
+    fH = flows[:, :, :, :, 1]
+    fW = flows[:, :, :, :, 0]
     if st_offset == 1:
         # slot 0 searches the query frame itself with zero flow; the zero slot
         # is synthesized here so no flow gradient attaches to it.
-        zshape = flows.shape[:3] + (1,) + flows.shape[4:]
-        zero = jnp.zeros(zshape, flows.dtype)
-        flows_full = jnp.concatenate([zero, flows], axis=3)
-    else:
-        flows_full = flows
-    # flow layout: [...,0,:,:] = dW, [...,1,:,:] = dH
-    ctr_h = reflect_bounds(base_h + flows_full[:, :, :, :, 1], kH)
-    ctr_w = reflect_bounds(base_w + flows_full[:, :, :, :, 0], kW)
+        zshape = fH.shape[:3] + (1,) + fH.shape[4:]
+        zero = jnp.zeros(zshape, fH.dtype)
+        fH = jnp.concatenate([zero, fH], axis=3)
+        fW = jnp.concatenate([zero, fW], axis=3)
+    ctr_h = reflect_bounds(base_h + fH, kH)
+    ctr_w = reflect_bounds(base_w + fW, kW)
+    ctr_t = jnp.asarray(tj_tab, jnp.int32)[None, None, :, :, None, None]
 
     # -- per-query effective window (ws_interior, int path only) --
     use_interior = is_int and (ws_interior != ws)
@@ -146,134 +310,81 @@ def nls_search_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
             (jnp.arange(nH) == nH - 1)[:, None],
             (jnp.arange(nW) == nW - 1)[None, :])  # [nH,nW]
         ws_eff = jnp.where(btm_right, ws, ws_interior)
-        offs = [search_offsets(ctr_h, ctr_w, stride1, w, kH, kW, full_ws, is_int)
-                for w in (ws, ws_interior)]
+        offs = [search_offsets(ctr_h, ctr_w, stride1, w, kH, kW, full_ws,
+                               is_int) for w in (ws, ws_interior)]
         sel = btm_right[None, None, None, None]
         off_h = jnp.where(sel, offs[0][0], offs[1][0])
         off_w = jnp.where(sel, offs[0][1], offs[1][1])
-        # [ws,ws,nH,nW] cell validity, leading cell axes
-        cell_mask = ((jnp.arange(ws)[:, None, None, None]
-                      < ws_eff[None, None]) &
-                     (jnp.arange(ws)[None, :, None, None]
-                      < ws_eff[None, None]))
-        cell_mask = cell_mask[None, None, None, None]  # [1,1,1,1,ws,ws,nH,nW]
+        mask8 = ((jnp.arange(ws)[:, None, None, None] < ws_eff[None, None]) &
+                 (jnp.arange(ws)[None, :, None, None] < ws_eff[None, None]))
+        mask8 = mask8[None, None, None, None]  # [1,1,1,1,ws,ws,nH,nW]
+        cell_mask = (off_h, off_w, mask8)
     else:
-        off_h, off_w = search_offsets(ctr_h, ctr_w, stride1, ws, kH, kW,
-                                      full_ws, is_int)
         cell_mask = None
 
-    # -- proposed lattice positions, cells-major/space-minor --
-    cells = jnp.arange(ws, dtype=cdtype)
-    s1 = jnp.asarray(stride1, cdtype)
-    # [B,HD,T,W_t,ws,nH,nW]
-    prop_h = ctr_h[:, :, :, :, None] + s1 * (cells[:, None, None]
-                                             - off_h[:, :, :, :, None])
-    prop_w = ctr_w[:, :, :, :, None] + s1 * (cells[:, None, None]
-                                             - off_w[:, :, :, :, None])
-    # [B,HD,T,W_t,ws,ws,nH,nW]
-    valid_patch = (in_bounds(prop_h, kH)[:, :, :, :, :, None] &
-                   in_bounds(prop_w, kW)[:, :, :, :, None, :])
+    return lattice_search(
+        vid0, vid1, ctr_t, ctr_h, ctr_w, ws=ws, stride1=stride1,
+        ref_h=ref_h, ref_w=ref_w, base_h=adj_h, base_w=adj_w,
+        dist_type=dist_type, ps=ps, dilation=dilation, pt=pt,
+        patch_offset=patch_offset, reflect_bounds_=reflect_bounds_,
+        full_ws=full_ws, off_Hq=off_Hq, off_Wq=off_Wq, is_int=is_int,
+        cell_mask=cell_mask, G=W_t)
 
-    # -- channels-first flattened videos for gathers --
-    v0_cf = vid0.reshape(B, HD, T, F, qH * qW).transpose(0, 1, 3, 2, 4) \
-        .reshape(B, HD, F, T * qH * qW)
-    v1_cf = vid1.reshape(B, HD, T, F, kH * kW).transpose(0, 1, 3, 2, 4) \
-        .reshape(B, HD, F, T * kH * kW)
 
-    # -- patch pixel offsets (static) --
-    pks, pis, pjs = np.meshgrid(np.arange(pt), np.arange(ps), np.arange(ps),
-                                indexing="ij")
-    pix_offsets = jnp.asarray(
-        np.stack([pks.ravel(), pis.ravel(), pjs.ravel()], 1), jnp.int32)
+def refine_search_volume(vid0, vid1, flows_k, *, ws, wr, ps, stride0,
+                         stride1, strideQ=None, dist_type="l2", dilation=1,
+                         pt=1, reflect_bounds_=True, full_ws=True,
+                         use_adj=False, off_Hq=0, off_Wq=0, itype="float",
+                         restricted_radius=False):
+    """RefineSearch volume (refinement_{int,bilin2d}_kernel.cu): re-search a
+    wr x wr lattice around each of the Ks *given* per-query flows.
 
-    tj_b = tj_tab[None, None, :, :, None, None, None, None]  # [1,1,T,W_t,1,1,1,1]
+    flows_k [B,HDf,T,nH,nW,Ks,3] relative offsets. Returns
+    (dists [B,HD,T,Ks,wr,wr,nH,nW], inds3 [3,...]).
+    """
+    del ws, restricted_radius  # `ws` only bounds the radius option (unused)
+    B, HD, T, F, qH, qW = vid0.shape
+    kH, kW = vid1.shape[-2:]
+    is_int = (itype == "int")
+    patch_offset = 0 if use_adj else -(ps // 2)
+    nH, nW = num_queries(qH, qW, stride0)
+    Ks = flows_k.shape[-2]
+    if strideQ is None:
+        strideQ = stride0
+    if is_int:
+        stride1 = max(1, int(stride1))
+        flows_k = jnp.round(flows_k).astype(jnp.int32) \
+            if jnp.issubdtype(flows_k.dtype, jnp.floating) \
+            else flows_k.astype(jnp.int32)
+    else:
+        stride1 = float(stride1)
+    cdtype = jnp.int32 if is_int else vid0.dtype
 
-    def body(acc, pix_off):
-        pk, pi, pj = pix_off[0], pix_off[1], pix_off[2]
-        dH = dilation * (pi + patch_offset)
-        dW = dilation * (pj + patch_offset)
+    ref_h = (jnp.arange(nH, dtype=jnp.int32) * strideQ) % qH
+    ref_w = (jnp.arange(nW, dtype=jnp.int32) * strideQ) % qW
 
-        # -- reference pixel (always int reads) --
-        rt = reflect_bounds(t_ids + pk, T)  # stays in range for pk < T
-        rh = ref_h + off_Hq + dH
-        rw = ref_w + off_Wq + dW
-        if reflect_bounds_:
-            rh, rw = reflect_bounds(rh, qH), reflect_bounds(rw, qW)
-        v_ref = (in_bounds(rh, qH)[:, None] & in_bounds(rw, qW)[None, :])
-        ridx = (rt[:, None, None] * qH + jnp.clip(rh, 0, qH - 1)[None, :, None]) \
-            * qW + jnp.clip(rw, 0, qW - 1)[None, None, :]  # [T,nH,nW]
-        pix0 = _take_cf(v0_cf, ridx[None, None])  # [B,HD,F,T,nH,nW]
-        pix0 = pix0[:, :, :, :, None, None, None]  # -> [B,HD,F,T,1,1,1,nH,nW]
+    flows_k = _expand_flow_heads(flows_k, HD)
+    # [B,HD,T,nH,nW,Ks,3] -> group-major [B,HD,T,Ks,nH,nW]
+    fk = jnp.moveaxis(flows_k, 5, 3)
+    t_ids = jnp.arange(T, dtype=jnp.int32)[None, None, :, None, None, None]
+    if is_int:
+        dt = fk[..., 0]
+    else:
+        dt = jnp.floor(fk[..., 0] + 0.5).astype(jnp.int32)
+    ctr_t = reflect_bounds(t_ids + dt, T).astype(jnp.int32)
+    base_h = ref_h[None, None, None, None, :, None].astype(cdtype)
+    base_w = ref_w[None, None, None, None, None, :].astype(cdtype)
+    ctr_h = reflect_bounds(base_h + fk[..., 1], kH)
+    ctr_w = reflect_bounds(base_w + fk[..., 2], kW)
+    edge_valid = (jnp.abs(fk[..., 1]) < 1e8) & (jnp.abs(fk[..., 2]) < 1e8)
 
-        # -- proposed pixel --
-        ptj = reflect_bounds(tj_b + pk, T)  # [1,1,T,W_t,1,1,1,1] int32
-        ph = prop_h[:, :, :, :, :, None] + jnp.asarray(dH, cdtype)
-        pw = prop_w[:, :, :, :, None, :] + jnp.asarray(dW, cdtype)
-        if reflect_bounds_:
-            ph, pw = reflect_bounds(ph, kH), reflect_bounds(pw, kW)
-        v_prop = in_bounds(ph, kH) & in_bounds(pw, kW)  # [...,ws,ws,nH,nW]
-
-        if is_int:
-            pidx = (ptj * kH + jnp.clip(ph, 0, kH - 1)) * kW \
-                + jnp.clip(pw, 0, kW - 1)
-            pidx = jnp.broadcast_to(pidx, (B, HD, T, W_t, ws, ws, nH, nW))
-            pix1 = _take_cf(v1_cf, pidx)  # [B,HD,F,T,W_t,ws,ws,nH,nW]
-        else:
-            h0 = jnp.floor(ph)
-            w0 = jnp.floor(pw)
-            pix1 = 0.
-            for di in (0, 1):
-                for dj in (0, 1):
-                    hc = h0 + di
-                    wc = w0 + dj
-                    wgt = (jnp.maximum(0., 1. - jnp.abs(hc - ph))
-                           * jnp.maximum(0., 1. - jnp.abs(wc - pw)))
-                    wgt = jnp.where(in_bounds(hc, kH) & in_bounds(wc, kW),
-                                    wgt, 0.)
-                    pidx = (ptj * kH + jnp.clip(hc, 0, kH - 1).astype(jnp.int32)) \
-                        * kW + jnp.clip(wc, 0, kW - 1).astype(jnp.int32)
-                    pidx = jnp.broadcast_to(pidx,
-                                            (B, HD, T, W_t, ws, ws, nH, nW))
-                    corner = _take_cf(v1_cf, pidx)
-                    pix1 = pix1 + jnp.broadcast_to(wgt, pidx.shape)[:, :, None] \
-                        * corner
-
-        # -- pair contribution (zero when either side is out of frame) --
-        pair_ok = v_prop & v_ref[None, None, None, None, None, None]
-        if dist_type == "prod":
-            contrib = jnp.sum(pix0 * pix1, axis=2)
-        else:
-            diff = pix0 - pix1
-            contrib = jnp.sum(diff * diff, axis=2)
-        contrib = jnp.where(pair_ok, contrib, 0.)
-        return acc + contrib, None
-
-    acc0 = jnp.zeros((B, HD, T, W_t, ws, ws, nH, nW), dtype)
-    dists, _ = jax.lax.scan(body, acc0, pix_offsets)
-
-    # -- invalidate out-of-frame centers / unsearched cells --
-    _, _, init_val = dist_type_select(dist_type)
-    inval = jnp.asarray(init_val, dtype)
-    dists = jnp.where(valid_patch, dists, inval)
-    if cell_mask is not None:
-        dists = jnp.where(jnp.broadcast_to(cell_mask, dists.shape), dists, inval)
-
-    # -- relative offsets (dt, dh, dw), component-leading --
-    dt = (tj_tab - t_ids[:, None]).astype(cdtype)  # [T,W_t]
-    shape8 = dists.shape
-    dh = (prop_h - base_h[:, :, :, :, None].astype(cdtype))[:, :, :, :, :, None]
-    dw = (prop_w - base_w[:, :, :, :, None].astype(cdtype))[:, :, :, :, None, :]
-    inds3 = jnp.stack([
-        jnp.broadcast_to(dt[None, None, :, :, None, None, None, None], shape8)
-        .astype(cdtype),
-        jnp.broadcast_to(dh, shape8).astype(cdtype),
-        jnp.broadcast_to(dw, shape8).astype(cdtype),
-    ], axis=0)
-    if cell_mask is not None:
-        fill = jnp.asarray(-100000000 if is_int else -1e8, cdtype)
-        inds3 = jnp.where(jnp.broadcast_to(cell_mask[None], inds3.shape),
-                          inds3, fill)
-    return dists, inds3
+    return lattice_search(
+        vid0, vid1, ctr_t, ctr_h, ctr_w, ws=wr, stride1=stride1,
+        ref_h=ref_h, ref_w=ref_w, base_h=ref_h, base_w=ref_w,
+        dist_type=dist_type, ps=ps, dilation=dilation, pt=pt,
+        patch_offset=patch_offset, reflect_bounds_=reflect_bounds_,
+        full_ws=full_ws, off_Hq=off_Hq, off_Wq=off_Wq, is_int=is_int,
+        edge_valid=edge_valid, G=Ks)
 
 
 def nls_search_core(vid0, vid1, flows, **kw):

@@ -107,3 +107,41 @@ def paired_vids(forward, vid0, vid1, flows, wt, skip_self=False):
     dists = jnp.stack(dists_all, axis=-4)
     inds = jnp.stack(inds_all, axis=-5)
     return dists, inds
+
+
+def paired_vids_refine(forward, vid0, vid1, flows, wt, skip_self=False,
+                       check_time=True):
+    """Frame-streaming decomposition for PairedRefine (reference
+    search/utils.py:384-435): per (ti, tj) window slot, refine around the
+    K_each given flows for that slot."""
+    dists_all, inds_all = [], []
+    T = vid0.shape[1]
+    if flows.ndim == 6:
+        flows = flows[:, None]
+    K_total = flows.shape[-2]
+    Wt = 2 * wt + 1
+    Wt = Wt - 1 if skip_self else Wt
+    assert (K_total % Wt) == 0, "Must be divisible by Wt."
+    K_each = K_total // Wt
+    for ti in range(T):
+        t_grid = get_time_window_inds(ti, wt, T)
+        dists_i, inds_i = [], []
+        ix = 0
+        for _tj in range(2 * wt + 1):
+            tj = t_grid[_tj]
+            if (ti == tj) and skip_self:
+                continue
+            frame0 = vid0[:, ti]
+            frame1 = vid1[:, tj]
+            ks0, ks1 = ix * K_each, (ix + 1) * K_each
+            flow = flows[:, :, ti, :, :, ks0:ks1, :].astype(jnp.float32)
+            d_ij, i_ij = forward(frame0, frame1, flow[..., 1:])
+            i_t = (tj - ti) * jnp.ones_like(i_ij[..., :1])
+            inds_i.append(jnp.concatenate([i_t, i_ij], axis=-1))
+            dists_i.append(d_ij)
+            ix += 1
+        dists_all.append(jnp.concatenate(dists_i, axis=-1))
+        inds_all.append(jnp.concatenate(inds_i, axis=-2))
+    dists = jnp.stack(dists_all, axis=-4)
+    inds = jnp.stack(inds_all, axis=-5)
+    return dists, inds

@@ -34,6 +34,13 @@ def optional(cfg, key, default):
     return getattr(cfg, key, default)
 
 
+def optional_delete(cfg, key):
+    if cfg is None:
+        return
+    if key in cfg:
+        del cfg[key]
+
+
 def extract_pairs(cfg, pairs, restrict=True):
     out = ConfigDict()
     cfg = {} if cfg is None else cfg

@@ -1,10 +1,15 @@
 """Test harness config: run the whole suite on a virtual 8-device CPU mesh
 so sharding tests work without multi-chip hardware (the driver separately
-dry-runs the multi-chip path; bench.py runs on the real TPU)."""
+dry-runs the multi-chip path; bench.py runs on the real TPU chip).
+
+The axon environment's sitecustomize imports jax at interpreter startup and
+calls jax.config.update("jax_platforms", "axon,cpu"), overriding the
+JAX_PLATFORMS env var — so the env var alone is NOT enough; the config must
+be forced back to cpu here, before any backend initializes.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,4 +17,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+assert len(jax.devices()) == 8, "tests expect the virtual 8-device CPU mesh"
