@@ -1,0 +1,56 @@
+"""NonLocalDenoiser: the flagship model wiring the full stack — conv
+embedding, flow-guided NonLocalAttention, residual refinement, conv output.
+
+This is the model family the reference targets (video denoising with
+shifted non-local search replacing predicted offsets, README "Upgrading
+Existing Space-Time Attention" / RVRT upgrade, BASELINE.md config 4).
+"""
+
+import jax
+import jax.numpy as jnp
+import flax.linen as fnn
+
+from stnls_tpu.models.blocks import ResBlockList, ChannelAttention, _conv2d
+from stnls_tpu.nn.non_local_attn import NonLocalAttention
+
+
+class NonLocalDenoiser(fnn.Module):
+    """vid [B,T,C,H,W] (+ flows dict) -> denoised vid [B,T,C,H,W]."""
+    in_dim: int = 3
+    embed_dim: int = 16
+    nheads: int = 2
+    ws: int = 9
+    wt: int = 1
+    ps: int = 3
+    k: int = 9
+    stride0: int = 1
+    nres: int = 2
+
+    def setup(self):
+        io_dim = self.embed_dim * self.nheads
+        attn_cfg = {"nheads": self.nheads, "embed_dim": self.embed_dim,
+                    "use_attn_projection": True, "use_attn_flow": True}
+        search_cfg = {"search_name": "nls", "ws": self.ws, "wt": self.wt,
+                      "ps": self.ps, "k": self.k, "nheads": self.nheads,
+                      "stride0": self.stride0, "self_action": "anchor",
+                      "itype": "float", "dist_type": "l2"}
+        normz_cfg = {"normz_name": "softmax", "normz_scale": 10,
+                     "dist_type": "l2"}
+        agg_cfg = {"agg_name": "gather", "ps": self.ps,
+                   "stride0": self.stride0, "itype": "float"}
+        self.attn = NonLocalAttention(attn_cfg, search_cfg, normz_cfg,
+                                      agg_cfg)
+        self.res = ResBlockList(self.nres, io_dim)
+        self.chnl = ChannelAttention(io_dim)
+        self.io_dim = io_dim
+
+    def __call__(self, vid, flows=None, state=None):
+        B, T, C, H, W = vid.shape
+        x = _conv2d(vid.reshape(B * T, C, H, W), self.io_dim, 3, "embed")
+        x = x.reshape(B, T, self.io_dim, H, W)
+        y, state = self.attn(x, flows, state)
+        y = x + y
+        z = self.res(y.reshape(B * T, self.io_dim, H, W))
+        z = self.chnl(z)
+        out = _conv2d(z, C, 3, "out").reshape(B, T, C, H, W)
+        return vid + out, state

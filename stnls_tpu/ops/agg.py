@@ -11,14 +11,20 @@ Reference ops covered (lib/stnls/agg/, lib/csrc/agg/):
   * nl_pool           <- PooledPatchSum (pool_int_kernel.cu): patch sums on
       a ps-upsampled grid.
 
-TPU design note: the CUDA kernels scatter with atomicAdd. Here the
-*reference-side* pixel coordinates are static affine functions of the query
-grid (ref_ij = nh*stride0 + patch offset), so every "scatter" to ref
-locations lowers to strided-slice `.at[...].add` updates — no scatter op,
-bitwise deterministic. Only the scatter_add family needs true dynamic
-scatters, done with `.at[].add` (XLA deterministic scatter-add on TPU).
+TPU design notes:
+  * The CUDA kernels scatter with atomicAdd. Here the *reference-side*
+    pixel coordinates are static affine functions of the query grid
+    (ref_ij = nh*stride0 + patch offset), so every "scatter" to ref
+    locations lowers to strided-slice `.at[...].add` updates — no scatter
+    op, bitwise deterministic. Only the scatter_add family needs true
+    dynamic scatters (`.at[].add`, deterministic on TPU).
+  * Layout discipline (see ops/nls.py): the public API carries K and F on
+    trailing axes, but TPU tiles pad any small minor axis to (8,128), so
+    internally everything is K-major / channels-separate with the (nH,nW)
+    spatial grid minor, and gathers run one channel at a time.
+
 Gradients (vid, weights, and flow offsets in the float path) come from
-jax.grad of this forward, replacing gather_{int,bilin2d}_backward.
+jax.grad of these forwards, replacing gather_{int,bilin2d}_backward.
 """
 
 import numpy as np
@@ -61,48 +67,48 @@ def _valid_ref_slices(n, stride, d, L):
     return n0, n1, slice(n0 * stride + d, (n1 - 1) * stride + d + 1, stride)
 
 
-def _nl_centers(flows, ref_t, ref_h, ref_w, T, H, W, is_int):
-    """Non-local patch centers: ref + offset, reflect-bounded
-    (gather_int_kernel.cu:70-76). flows [B,HD,T,nH,nW,K,3]."""
-    dt = flows[..., 0]
-    dh = flows[..., 1]
-    dw = flows[..., 2]
-    t = ref_t[None, None, :, None, None, None]
-    h = ref_h[None, None, None, :, None, None]
-    w = ref_w[None, None, None, None, :, None]
+def _km_centers(flows_km, ref_t, ref_h, ref_w, T, H, W, is_int):
+    """Non-local patch centers, K-major: flows_km [B,HD,K,T,nH,nW,3]
+    (component trailing on a tiny fixed axis is fine — it is consumed
+    immediately). Returns (nl_t, nl_h, nl_w) each [B,HD,K,T,nH,nW],
+    reflect-bounded (gather_int_kernel.cu:70-76)."""
+    dt = flows_km[..., 0]
+    dh = flows_km[..., 1]
+    dw = flows_km[..., 2]
+    t = ref_t[None, None, None, :, None, None]
+    h = ref_h[None, None, None, None, :, None]
+    w = ref_w[None, None, None, None, None, :]
     if is_int:
         nl_t = reflect_bounds(t + dt.astype(jnp.int32), T)
         nl_h = reflect_bounds(h + dh.astype(jnp.int32), H)
         nl_w = reflect_bounds(w + dw.astype(jnp.int32), W)
     else:
         nl_t = reflect_bounds(t + jnp.round(dt).astype(jnp.int32), T)
-        nl_h = reflect_bounds(h.astype(flows.dtype) + dh, H)
-        nl_w = reflect_bounds(w.astype(flows.dtype) + dw, W)
-    return nl_t, nl_h, nl_w  # [B,HD,T,nH,nW,K]
+        nl_h = reflect_bounds(h.astype(dh.dtype) + dh, H)
+        nl_w = reflect_bounds(w.astype(dw.dtype) + dw, W)
+    return nl_t, nl_h, nl_w
 
 
-def _gather_nl_pixels(vid_cf, nl_t, ph, pw, T, H, W, is_int):
-    """Read vid at the (possibly fractional) non-local pixel; invalid reads
-    return 0. vid_cf [B,HD,F,T*H*W]; coords [B,HD,T,nH,nW,K].
-    Returns [B,HD,F,T,nH,nW,K]."""
-    B, HD, F, _ = vid_cf.shape
-    tail = nl_t.shape[2:]
+def _km_inputs(weights, flows, B, HD, T, nH, nW, K):
+    """Public trailing-K layout -> K-major internal layout."""
+    w_km = jnp.transpose(weights.reshape(B, HD, T, nH, nW, K),
+                         (0, 1, 5, 2, 3, 4))
+    f_km = jnp.transpose(flows.reshape(B, HD, T, nH, nW, K, 3),
+                         (0, 1, 5, 2, 3, 4, 6))
+    return w_km, f_km
 
-    def take(idx):
-        n = int(np.prod(tail))
-        idx2 = jnp.broadcast_to(idx, (B, HD) + tail).reshape(B, HD, 1, n)
-        out = jnp.take_along_axis(vid_cf, idx2, axis=3)
-        return out.reshape((B, HD, F) + tail)
 
+def _pix_corners(ph, pw, H, W, is_int):
+    """Corner index/weight lists for a (possibly fractional) pixel read;
+    coordinates [B,HD,K,T,nH,nW]."""
     if is_int:
         ok = in_bounds(ph, H) & in_bounds(pw, W)
-        idx = (nl_t * H + jnp.clip(ph, 0, H - 1)) * W + jnp.clip(pw, 0, W - 1)
-        pix = take(idx)
-        return jnp.where(ok[:, :, None], pix, 0.)
+        idx = jnp.clip(ph, 0, H - 1) * W + jnp.clip(pw, 0, W - 1)
+        return [(jnp.where(ok, 1., 0.), idx)]
+    ok = in_bounds(ph, H) & in_bounds(pw, W)
     h0 = jnp.floor(ph)
     w0 = jnp.floor(pw)
-    ok = in_bounds(ph, H) & in_bounds(pw, W)
-    pix = 0.
+    corners = []
     for di in (0, 1):
         for dj in (0, 1):
             hc = h0 + di
@@ -110,10 +116,21 @@ def _gather_nl_pixels(vid_cf, nl_t, ph, pw, T, H, W, is_int):
             wgt = (jnp.maximum(0., 1. - jnp.abs(hc - ph))
                    * jnp.maximum(0., 1. - jnp.abs(wc - pw)))
             wgt = jnp.where(in_bounds(hc, H) & in_bounds(wc, W), wgt, 0.)
-            idx = (nl_t * H + jnp.clip(hc, 0, H - 1).astype(jnp.int32)) * W \
+            wgt = jnp.where(ok, wgt, 0.)
+            idx = jnp.clip(hc, 0, H - 1).astype(jnp.int32) * W \
                 + jnp.clip(wc, 0, W - 1).astype(jnp.int32)
-            pix = pix + jnp.where(ok, wgt, 0.)[:, :, None] * take(idx)
-    return pix
+            corners.append((wgt, idx))
+    return corners
+
+
+def _take1(chan, idx):
+    """Per-channel gather: chan [B,HD,M], idx [B?,HD?,...] ->
+    [B,HD,*idx.shape[2:]]."""
+    B, HD = chan.shape[:2]
+    tail = idx.shape[2:]
+    n = int(np.prod(tail))
+    idx2 = jnp.broadcast_to(idx, (B, HD) + tail).reshape(B, HD, n)
+    return jnp.take_along_axis(chan, idx2, axis=2).reshape((B, HD) + tail)
 
 
 def nl_gather_stack(vid, weights, flows, *, ps, stride0, pt=1, dilation=1,
@@ -130,13 +147,12 @@ def nl_gather_stack(vid, weights, flows, *, ps, stride0, pt=1, dilation=1,
     patch_offset = 0 if use_adj else -(ps // 2)
     if is_int and jnp.issubdtype(flows.dtype, jnp.floating):
         flows = jnp.round(flows)
-    weights = weights.reshape(B, HD, T, nH, nW, K)
-    flows = flows.reshape(B, HD, T, nH, nW, K, 3)
+    w_km, f_km = _km_inputs(weights, flows, B, HD, T, nH, nW, K)
 
     ref_t = jnp.arange(T, dtype=jnp.int32)
     ref_h = jnp.arange(nH, dtype=jnp.int32) * stride0
     ref_w = jnp.arange(nW, dtype=jnp.int32) * stride0
-    nl_t, nl_h, nl_w = _nl_centers(flows, ref_t, ref_h, ref_w, T, H, W, is_int)
+    nl_t, nl_h, nl_w = _km_centers(f_km, ref_t, ref_h, ref_w, T, H, W, is_int)
 
     vid_cf = vid.reshape(B, HD, T, F, H * W).transpose(0, 1, 3, 2, 4) \
         .reshape(B, HD, F, T * H * W)
@@ -158,10 +174,15 @@ def nl_gather_stack(vid, weights, flows, *, ps, stride0, pt=1, dilation=1,
                 pw = nl_w + dWp
                 if reflect_bounds_:
                     pw = reflect_bounds(pw, W)
-                pix = _gather_nl_pixels(vid_cf, nt, ph, pw, T, H, W, is_int)
-                # [B,HD,F,T,nH,nW,K] -> weighted, to stack layout
-                val = pix * weights[:, :, None]
-                val = jnp.transpose(val, (0, 1, 6, 3, 2, 4, 5))
+                corners = _pix_corners(ph, pw, H, W, is_int)
+                chans = []
+                for f in range(F):
+                    pix_f = 0.
+                    for wgt, idx in corners:
+                        pix_f = pix_f + wgt * _take1(vid_cf[:, :, f],
+                                                     nt * (H * W) + idx)
+                    chans.append(pix_f * w_km)  # [B,HD,K,T,nH,nW]
+                val = jnp.stack(chans, axis=4)  # [B,HD,K,T,F,nH,nW]
                 stack = stack.at[:, :, :, :, :, sh, sw].add(
                     val[..., h0:h1, w0:w1])
 
@@ -195,15 +216,15 @@ def nl_gather_add(vid, weights, flows, *, ps, strideIn, strideOut, pt=1,
     patch_offset = 0 if use_adj else -(ps // 2)
     if is_int and jnp.issubdtype(flows.dtype, jnp.floating):
         flows = jnp.round(flows)
-    weights = weights.reshape(B, HD, T, nH, nW, K)
-    flows = flows.reshape(B, HD, T, nH, nW, K, 3)
+    w_km, f_km = _km_inputs(weights, flows, B, HD, T, nH, nW, K)
+    # drop the -1e8 "invalid" fill entries (gather_add_kernel.cu:71-73)
+    finite = (jnp.abs(f_km[..., 1]) < 1e7) & (jnp.abs(f_km[..., 2]) < 1e7)
+    w_km = jnp.where(finite, w_km, 0.)
 
     ref_t = jnp.arange(T, dtype=jnp.int32)
     in_h = jnp.arange(nH, dtype=jnp.int32) * strideIn
     in_w = jnp.arange(nW, dtype=jnp.int32) * strideIn
-    nl_t, nl_h, nl_w = _nl_centers(flows, ref_t, in_h, in_w, T, H, W, is_int)
-    # drop the -1e8 "invalid" fill entries (gather_add_kernel.cu:71-73)
-    finite = (jnp.abs(flows[..., 1]) < 1e7) & (jnp.abs(flows[..., 2]) < 1e7)
+    nl_t, nl_h, nl_w = _km_centers(f_km, ref_t, in_h, in_w, T, H, W, is_int)
 
     vid_cf = vid.reshape(B, HD, T, F, H * W).transpose(0, 1, 3, 2, 4) \
         .reshape(B, HD, F, T * H * W)
@@ -225,10 +246,16 @@ def nl_gather_add(vid, weights, flows, *, ps, strideIn, strideOut, pt=1,
                 pw = nl_w + dWp
                 if reflect_bounds_:
                     pw = reflect_bounds(pw, W)
-                pix = _gather_nl_pixels(vid_cf, nt, ph, pw, T, H, W, is_int)
-                wk = jnp.where(finite, weights, 0.)
-                val = jnp.sum(pix * wk[:, :, None], axis=-1)
-                val = jnp.transpose(val, (0, 1, 3, 2, 4, 5))
+                corners = _pix_corners(ph, pw, H, W, is_int)
+                chans = []
+                for f in range(F):
+                    pix_f = 0.
+                    for wgt, idx in corners:
+                        pix_f = pix_f + wgt * _take1(vid_cf[:, :, f],
+                                                     nt * (H * W) + idx)
+                    # sum over K while still K-major: [B,HD,T,nH,nW]
+                    chans.append(jnp.sum(pix_f * w_km, axis=2))
+                val = jnp.stack(chans, axis=3)  # [B,HD,T,F,nH,nW]
                 out = out.at[:, :, :, :, sh, sw].add(val[..., h0:h1, w0:w1])
 
     counts = jnp.asarray(
@@ -247,20 +274,17 @@ def nl_scatter_add(vid, weights, flows, *, ps, strideIn, strideOut, pt=1,
     the reference leaves the output *unnormalized* (scatter_add.py:105-107).
 
     Needs a true scatter; `.at[].add` keeps it deterministic (unlike the
-    reference's atomicAdd). Bilinear (float) writes land on the rounded
-    center like the reference's int cast of the scatter destination.
-    """
+    reference's atomicAdd)."""
     B, HD, T, F, H, W = vid.shape
     K = flows.shape[-2]
     nH, nW = num_queries(H, W, strideIn)
     outH, outW = default_out_size(H, W, nH, nW, strideOut, outH, outW)
-    is_int = (itype == "int")
     patch_offset = 0 if use_adj else -(ps // 2)
     if jnp.issubdtype(flows.dtype, jnp.floating):
         flows = jnp.round(flows)
     flows = flows.astype(jnp.int32)
-    weights = weights.reshape(B, HD, T, nH, nW, K)
-    flows = flows.reshape(B, HD, T, nH, nW, K, 3)
+    w_km, f_km = _km_inputs(weights, flows, B, HD, T, nH, nW, K)
+    finite = (jnp.abs(f_km[..., 1]) < 1e7) & (jnp.abs(f_km[..., 2]) < 1e7)
 
     ref_t = jnp.arange(T, dtype=jnp.int32)
     in_h = jnp.arange(nH, dtype=jnp.int32) * strideIn
@@ -268,22 +292,21 @@ def nl_scatter_add(vid, weights, flows, *, ps, strideIn, strideOut, pt=1,
     out_h = jnp.arange(nH, dtype=jnp.int32) * strideOut
     out_w = jnp.arange(nW, dtype=jnp.int32) * strideOut
     # scatter destinations: strideOut grid + offsets, always reflected
-    nl_t, nl_h, nl_w = _nl_centers(flows, ref_t, out_h, out_w, T, outH, outW,
+    nl_t, nl_h, nl_w = _km_centers(f_km, ref_t, out_h, out_w, T, outH, outW,
                                    True)
-    finite = (jnp.abs(flows[..., 1]) < 1e7) & (jnp.abs(flows[..., 2]) < 1e7)
 
     vid_cf = vid.reshape(B, HD, T, F, H * W).transpose(0, 1, 3, 2, 4) \
         .reshape(B, HD, F, T * H * W)
-    out_flat = jnp.zeros((B, HD, F, T * outH * outW + 1), vid.dtype)
+    out_ch = [jnp.zeros((B, HD, T * outH * outW + 1), vid.dtype)
+              for _ in range(F)]
     cnt_flat = jnp.zeros(outH * outW + 1, vid.dtype)
 
-    t_g = ref_t[None, None, :, None, None, None]
-    h_g = in_h[None, None, None, :, None, None]
-    w_g = in_w[None, None, None, None, :, None]
-    bi = jnp.arange(B)[:, None, None, None]
-    hi_ = jnp.arange(HD)[None, :, None, None]
-    fi = jnp.arange(F)[None, None, :, None]
-    n = T * nH * nW * K
+    t_g = ref_t[None, None, None, :, None, None]
+    h_g = in_h[None, None, None, None, :, None]
+    w_g = in_w[None, None, None, None, None, :]
+    bi = jnp.arange(B)[:, None, None]
+    hi_ = jnp.arange(HD)[None, :, None]
+    n = K * T * nH * nW
     for pk in range(pt):
         rt = t_g + pk  # ref time not reflected (scatter_add_kernel.cu:121)
         nt = reflect_bounds(nl_t + pk, T) if reflect_bounds_ else nl_t + pk
@@ -301,34 +324,33 @@ def nl_scatter_add(vid, weights, flows, *, ps, strideIn, strideOut, pt=1,
                 if reflect_bounds_:
                     sw = reflect_bounds(sw, outW)
                 ok = (finite & in_bounds(rh, H) & in_bounds(rw, W)
-                      & in_bounds(sh, outH) & in_bounds(sw, outW))
+                      & in_bounds(sh, outH) & in_bounds(sw, outW) & tok)
                 ridx = (jnp.clip(rt, 0, T - 1) * H
                         + jnp.clip(rh, 0, H - 1)) * W + jnp.clip(rw, 0, W - 1)
-                ridx = jnp.broadcast_to(ridx, (B, HD, T, nH, nW, K))
-                pix = jnp.take_along_axis(
-                    vid_cf, ridx.reshape(B, HD, 1, n), axis=3) \
-                    .reshape(B, HD, F, T, nH, nW, K)
-                val = pix * weights[:, :, None]
-                val = jnp.where((ok & tok)[:, :, None], val, 0.)
+                ridx = jnp.broadcast_to(ridx, (B, HD, K, T, nH, nW))
                 sidx = (jnp.clip(nt, 0, T - 1) * outH
                         + jnp.clip(sh, 0, outH - 1)) * outW \
                     + jnp.clip(sw, 0, outW - 1)
-                sidx = jnp.broadcast_to(sidx, (B, HD, T, nH, nW, K))
-                sidx_f = jnp.where(
-                    jnp.broadcast_to(ok & tok, sidx.shape), sidx,
-                    T * outH * outW).reshape(B, HD, 1, n)
-                out_flat = out_flat.at[bi, hi_, fi, sidx_f].add(
-                    val.reshape(B, HD, F, n))
+                sidx = jnp.broadcast_to(sidx, (B, HD, K, T, nH, nW))
+                sidx_f = jnp.where(jnp.broadcast_to(ok, sidx.shape), sidx,
+                                   T * outH * outW).reshape(B, HD, n)
+                for f in range(F):
+                    pix = _take1(vid_cf[:, :, f], ridx)
+                    val = jnp.where(ok, pix * w_km, 0.)
+                    out_ch[f] = out_ch[f].at[bi, hi_, sidx_f].add(
+                        val.reshape(B, HD, n))
                 # counts: b=0, hd=0, query frame 0, all k (kernel :110-112)
                 if pk == 0:
                     cidx = (jnp.clip(sh, 0, outH - 1) * outW
                             + jnp.clip(sw, 0, outW - 1))
-                    cidx = jnp.broadcast_to(cidx, (B, HD, T, nH, nW, K))
-                    cidx0 = jnp.where(ok, cidx, outH * outW)[0, 0, 0]
+                    cidx = jnp.broadcast_to(cidx, (B, HD, K, T, nH, nW))
+                    okb = jnp.broadcast_to(ok, cidx.shape)
+                    cidx0 = jnp.where(okb[0, 0, :, 0], cidx[0, 0, :, 0],
+                                      outH * outW)
                     cnt_flat = cnt_flat.at[cidx0.reshape(-1)].add(1.)
 
-    out = out_flat[..., :-1].reshape(B, HD, F, T, outH, outW) \
-        .transpose(0, 1, 3, 2, 4, 5)
+    out = jnp.stack([c[..., :-1] for c in out_ch], axis=2) \
+        .reshape(B, HD, F, T, outH, outW).transpose(0, 1, 3, 2, 4, 5)
     counts = cnt_flat[:-1].reshape(outH, outW)
     return out, counts
 
@@ -350,14 +372,13 @@ def nl_pool(vid, weights, flows, *, ps, stride0, pt=1, dilation=1,
     patch_offset = 0 if use_adj else -(ps // 2)
     flows = jnp.round(flows).astype(jnp.int32) \
         if jnp.issubdtype(flows.dtype, jnp.floating) else flows.astype(jnp.int32)
-    weights = weights.reshape(B, HD, T, nH, nW, K)
-    flows = flows.reshape(B, HD, T, nH, nW, K, 3)
-    weights = jnp.where(weights < 1e-8, 0., weights)
+    w_km, f_km = _km_inputs(weights, flows, B, HD, T, nH, nW, K)
+    w_km = jnp.where(w_km < 1e-8, 0., w_km)
 
     ref_t = jnp.arange(T, dtype=jnp.int32)
     in_h = jnp.arange(nH, dtype=jnp.int32) * stride0
     in_w = jnp.arange(nW, dtype=jnp.int32) * stride0
-    nl_t, nl_h, nl_w = _nl_centers(flows, ref_t, in_h, in_w, T, H, W, True)
+    nl_t, nl_h, nl_w = _km_centers(f_km, ref_t, in_h, in_w, T, H, W, True)
 
     vid_cf = vid.reshape(B, HD, T, F, H * W).transpose(0, 1, 3, 2, 4) \
         .reshape(B, HD, F, T * H * W)
@@ -382,9 +403,15 @@ def nl_pool(vid, weights, flows, *, ps, stride0, pt=1, dilation=1,
                 pw = nl_w + dWp
                 if reflect_bounds_:
                     pw = reflect_bounds(pw, W)
-                pix = _gather_nl_pixels(vid_cf, nt, ph, pw, T, H, W, True)
-                val = jnp.sum(pix * weights[:, :, None], axis=-1)
-                val = jnp.transpose(val, (0, 1, 3, 2, 4, 5))
+                corners = _pix_corners(ph, pw, H, W, True)
+                chans = []
+                for f in range(F):
+                    pix_f = 0.
+                    for wgt, idx in corners:
+                        pix_f = pix_f + wgt * _take1(vid_cf[:, :, f],
+                                                     nt * (H * W) + idx)
+                    chans.append(jnp.sum(pix_f * w_km, axis=2))
+                val = jnp.stack(chans, axis=3)  # [B,HD,T,F,nH,nW]
                 out = out.at[:, :, :, :, sh, sw].add(val[..., h0:h1, w0:w1])
                 if pk == 0:
                     counts[sh, sw] += 1

@@ -74,7 +74,7 @@ def lattice_search(vid0, vid1, ctr_t, ctr_h, ctr_w, *, ws, stride1,
                    ref_h, ref_w, base_h, base_w, dist_type, ps,
                    dilation=1, pt=1, patch_offset=0, reflect_bounds_=True,
                    full_ws=True, off_Hq=0, off_Wq=0, is_int=False,
-                   cell_mask=None, edge_valid=None, G=None):
+                   cell_mask=None, edge_valid=None, G=None, query_t=None):
     """Shared search engine.
 
     ctr_t: int frame index per (b,hd,t,g,[nh,nw]) — broadcastable to
@@ -84,8 +84,12 @@ def lattice_search(vid0, vid1, ctr_t, ctr_h, ctr_w, *, ws, stride1,
     base_h/base_w: anchor grids the output offsets are relative to.
     edge_valid: optional bool mask per (b,hd,t,g,nh,nw); False entries get
       init-valued dists and INVALID_IND offsets (refinement's 1e8 skip).
+    query_t: optional int array [T_q] of query frame indices into vid0/vid1
+      (defaults to arange(T)); used for temporal sharding, where vid0/vid1
+      carry halo frames and queries live on the interior. With query_t set,
+      pt must be 1 (halo frames make temporal patch reflection ambiguous).
 
-    Returns dists [B,HD,T,G,ws,ws,nH,nW], inds3 [3, ...same...].
+    Returns dists [B,HD,T_q,G,ws,ws,nH,nW], inds3 [3, ...same...].
     """
     B, HD, T, F, qH, qW = vid0.shape
     kH, kW = vid1.shape[-2:]
@@ -94,7 +98,13 @@ def lattice_search(vid0, vid1, ctr_t, ctr_h, ctr_w, *, ws, stride1,
         G = ctr_h.shape[3]
     dtype = vid0.dtype
     cdtype = jnp.int32 if is_int else dtype
-    t_ids = jnp.arange(T, dtype=jnp.int32)
+    if query_t is None:
+        t_ids = jnp.arange(T, dtype=jnp.int32)
+        T_q = T
+    else:
+        assert pt == 1, "query_t (time sharding) requires pt == 1"
+        t_ids = query_t.astype(jnp.int32)
+        T_q = t_ids.shape[0]
 
     # -- window offsets per center --
     if cell_mask is None:
@@ -128,7 +138,7 @@ def lattice_search(vid0, vid1, ctr_t, ctr_h, ctr_w, *, ws, stride1,
     pix_offsets = jnp.asarray(
         np.stack([pks.ravel(), pis.ravel(), pjs.ravel()], 1), jnp.int32)
 
-    cell_shape = (B, HD, T, G, ws, ws, nH, nW)
+    cell_shape = (B, HD, T_q, G, ws, ws, nH, nW)
     ctr_t8 = ctr_t[..., None, None, :, :]  # [...,G,1,1,nH?,nW?]
 
     def _take1(chan, idx):
@@ -385,6 +395,86 @@ def refine_search_volume(vid0, vid1, flows_k, *, ws, wr, ps, stride0,
         patch_offset=patch_offset, reflect_bounds_=reflect_bounds_,
         full_ws=full_ws, off_Hq=off_Hq, off_Wq=off_Wq, is_int=is_int,
         edge_valid=edge_valid, G=Ks)
+
+
+def time_window_frames_jnp(tq, wt, T):
+    """Traceable boundary-shifted time window: tq [T_q] (global frame ids,
+    possibly traced) -> tj [T_q, W_t] global target frames. Mirrors
+    geometry.time_window_frames / shared_kernel.cu set_time_range."""
+    W_t = min(2 * wt + 1, T)
+    st = jnp.arange(W_t, dtype=jnp.int32)
+    t_shift = jnp.minimum(0, tq - wt) + jnp.maximum(0, tq + wt - (T - 1))
+    t_max = jnp.minimum(T - 1, tq + wt - t_shift)
+    tj = tq[:, None] + st[None, :]
+    return jnp.where(tj > t_max[:, None], t_max[:, None] - st[None, :], tj)
+
+
+def nls_search_volume_chunk(vid0_pad, vid1_pad, flows, *, t0, T_global, halo,
+                            ws, wt, ps, stride0, stride1, dist_type="l2",
+                            dilation=1, reflect_bounds_=True, full_ws=True,
+                            use_adj=False, off_Hq=0, off_Wq=0,
+                            itype="float"):
+    """Temporal-chunk NonLocalSearch volume for sequence (time) sharding.
+
+    vid*_pad [B,HD,T_local+2*halo,F,H,W] hold the local frames plus `halo`
+    halo frames on each side (halo >= 2*wt covers the boundary-shifted
+    window; wrap-around halo contents at the true sequence ends are never
+    read). `t0` is the (possibly traced) global index of the first local
+    frame; flows are the local queries' [B,HDf,T_local,W_t-1 or W_t,2,nH,nW].
+
+    This is the TPU-native analog of the reference's frame-pair streaming
+    decomposition (search/utils.py:339-382, SURVEY §5.7): queries stay
+    local, only a halo of wt..2wt frames rides the ICI ring.
+    """
+    B, HD, T_pad, F, qH, qW = vid0_pad.shape
+    kH, kW = vid1_pad.shape[-2:]
+    is_int = (itype == "int")
+    patch_offset = 0 if use_adj else -(ps // 2)
+    W_t = min(2 * wt + 1, T_global)
+    nH, nW = num_queries(kH, kW, stride0)
+    T_local = T_pad - 2 * halo
+    st_offset = W_t - flows.shape[3]
+    assert st_offset in (0, 1)
+    assert halo >= 2 * wt, "halo must cover the boundary-shifted window"
+    if is_int:
+        stride1 = max(1, int(stride1))
+        flows = jnp.round(flows).astype(jnp.int32) \
+            if jnp.issubdtype(flows.dtype, jnp.floating) \
+            else flows.astype(jnp.int32)
+    else:
+        stride1 = float(stride1)
+    cdtype = jnp.int32 if is_int else vid0_pad.dtype
+
+    ref_h = (jnp.arange(nH, dtype=jnp.int32) * stride0) % qH
+    ref_w = (jnp.arange(nW, dtype=jnp.int32) * stride0) % qW
+
+    # local query frames + their local target-frame table
+    tq_global = t0 + jnp.arange(T_local, dtype=jnp.int32)
+    tj_global = time_window_frames_jnp(tq_global, wt, T_global)  # [T_l,W_t]
+    tj_local = tj_global - t0 + halo
+    query_t = jnp.arange(T_local, dtype=jnp.int32) + halo
+
+    flows = _expand_flow_heads(flows, HD)
+    base_h = ref_h[None, None, None, None, :, None].astype(cdtype)
+    base_w = ref_w[None, None, None, None, None, :].astype(cdtype)
+    fH = flows[:, :, :, :, 1]
+    fW = flows[:, :, :, :, 0]
+    if st_offset == 1:
+        zshape = fH.shape[:3] + (1,) + fH.shape[4:]
+        zero = jnp.zeros(zshape, fH.dtype)
+        fH = jnp.concatenate([zero, fH], axis=3)
+        fW = jnp.concatenate([zero, fW], axis=3)
+    ctr_h = reflect_bounds(base_h + fH, kH)
+    ctr_w = reflect_bounds(base_w + fW, kW)
+    ctr_t = tj_local[None, None, :, :, None, None]
+
+    return lattice_search(
+        vid0_pad, vid1_pad, ctr_t, ctr_h, ctr_w, ws=ws, stride1=stride1,
+        ref_h=ref_h, ref_w=ref_w, base_h=ref_h, base_w=ref_w,
+        dist_type=dist_type, ps=ps, dilation=dilation, pt=1,
+        patch_offset=patch_offset, reflect_bounds_=reflect_bounds_,
+        full_ws=full_ws, off_Hq=off_Hq, off_Wq=off_Wq, is_int=is_int,
+        G=W_t, query_t=query_t)
 
 
 def nls_search_core(vid0, vid1, flows, **kw):

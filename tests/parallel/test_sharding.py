@@ -1,0 +1,74 @@
+"""Distribution tests on the virtual 8-device CPU mesh: the time-sharded
+search (halo-exchange context parallelism) must reproduce the single-device
+search exactly, including gradients."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from stnls_tpu.parallel import make_mesh, time_sharded_search, shard_search
+from stnls_tpu.search import NonLocalSearch
+
+
+def make_data(B=1, HD=1, T=8, F=3, H=8, W=8, wt=1, seed=0):
+    rng = np.random.default_rng(seed)
+    vid0 = jnp.asarray(rng.standard_normal((B, HD, T, F, H, W)), jnp.float32)
+    vid1 = jnp.asarray(rng.standard_normal((B, HD, T, F, H, W)), jnp.float32)
+    W_t = 2 * wt + 1
+    flows = jnp.asarray(rng.standard_normal((B, HD, T, W_t - 1, 2, H, W)),
+                        jnp.float32)
+    return vid0, vid1, flows
+
+
+@pytest.mark.parametrize("n_time", [2, 4])
+def test_time_sharded_matches_single(n_time):
+    vid0, vid1, flows = make_data()
+    ws, wt, ps, k = 3, 1, 1, 4
+    mesh = make_mesh({"time": n_time}, devices=jax.devices()[:n_time])
+
+    ref = NonLocalSearch(ws, wt, ps, k, stride0=1, dist_type="l2",
+                         itype="float")
+    d_ref, i_ref = ref(vid0, vid1, flows)
+
+    d_sh, i_sh = time_sharded_search(vid0, vid1, flows, mesh, ws=ws, wt=wt,
+                                     ps=ps, k=k, stride0=1, dist_type="l2",
+                                     itype="float")
+    np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_sh),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(i_ref), np.asarray(i_sh),
+                               atol=1e-4)
+
+
+def test_time_sharded_gradients_match():
+    vid0, vid1, flows = make_data(T=4)
+    ws, wt, ps, k = 3, 1, 1, 4
+    mesh = make_mesh({"time": 2}, devices=jax.devices()[:2])
+    ref = NonLocalSearch(ws, wt, ps, k, stride0=1, dist_type="l2",
+                         itype="float")
+
+    def loss_ref(v0):
+        d, _ = ref(v0, vid1, flows)
+        return jnp.sum(jnp.where(jnp.isfinite(d), d, 0.))
+
+    def loss_sh(v0):
+        d, _ = time_sharded_search(v0, vid1, flows, mesh, ws=ws, wt=wt,
+                                   ps=ps, k=k, stride0=1, dist_type="l2",
+                                   itype="float")
+        return jnp.sum(jnp.where(jnp.isfinite(d), d, 0.))
+
+    g_ref = jax.grad(loss_ref)(vid0)
+    g_sh = jax.grad(loss_sh)(vid0)
+    np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_sh),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_data_sharded_runs():
+    vid0, vid1, flows = make_data(B=4, T=3)
+    mesh = make_mesh({"data": 4}, devices=jax.devices()[:4])
+    search = NonLocalSearch(3, 1, 1, 4, stride0=1, itype="float")
+    run = shard_search(search, mesh)
+    d_sh, i_sh = run(vid0, vid1, flows)
+    d_ref, i_ref = search(vid0, vid1, flows)
+    np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_sh),
+                               rtol=1e-4, atol=1e-4)
