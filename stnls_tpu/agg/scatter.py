@@ -16,7 +16,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from stnls_tpu.utils.config import extract_pairs
-from stnls_tpu.ops.geometry import reflect_bounds, in_bounds, num_queries
+from stnls_tpu.ops.geometry import reflect_bounds as _reflect, in_bounds, num_queries
 from stnls_tpu.ops.agg import patch_overlap_counts
 from stnls_tpu.agg.utils import ensure_ndim6, ensure_flow_heads, expand_heads
 
@@ -43,9 +43,9 @@ def non_local_scatter(vid, weights, flows_k, labels, ps=7, stride0=4, pt=1,
     t = jnp.arange(T, dtype=jnp.int32)[None, None, :, None, None, None]
     h = (jnp.arange(nH, dtype=jnp.int32) * stride0)[None, None, None, :, None, None]
     w = (jnp.arange(nW, dtype=jnp.int32) * stride0)[None, None, None, None, :, None]
-    nl_t = reflect_bounds(t + flows_k[..., 0], T)
-    nl_h = reflect_bounds(h + flows_k[..., 1], H)
-    nl_w = reflect_bounds(w + flows_k[..., 2], W)
+    nl_t = _reflect(t + flows_k[..., 0], T)
+    nl_h = _reflect(h + flows_k[..., 1], H)
+    nl_w = _reflect(w + flows_k[..., 2], W)
 
     vid_cf = vid.reshape(B, HD, T, F, H * W).transpose(0, 1, 3, 2, 4) \
         .reshape(B, HD, F, T * H * W)
@@ -59,20 +59,20 @@ def non_local_scatter(vid, weights, flows_k, labels, ps=7, stride0=4, pt=1,
     hi2 = jnp.arange(HD)[None, :, None]
 
     for pk in range(pt):
-        rt = reflect_bounds(t + pk, T)
-        nt = reflect_bounds(nl_t + pk, T)
+        rt = _reflect(t + pk, T)
+        nt = _reflect(nl_t + pk, T)
         for pi in range(ps):
             dHp = dilation * (pi + patch_offset)
             rh = h + dHp  # ref not reflected (scatter_int.cu:42-43)
             sh = nl_h + dHp
             if reflect_bounds_:
-                sh = reflect_bounds(sh, H)
+                sh = _reflect(sh, H)
             for pj in range(ps):
                 dWp = dilation * (pj + patch_offset)
                 rw = w + dWp
                 sw = nl_w + dWp
                 if reflect_bounds_:
-                    sw = reflect_bounds(sw, W)
+                    sw = _reflect(sw, W)
                 ok = (in_bounds(rh, H) & in_bounds(rw, W)
                       & in_bounds(sh, H) & in_bounds(sw, W))
                 ridx = (rt * H + jnp.clip(rh, 0, H - 1)) * W \

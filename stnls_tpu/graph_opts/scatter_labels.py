@@ -66,7 +66,7 @@ def run(flows, flows_k, ws, wt, stride0, stride1, H, W, full_ws):
         [jnp.ones_like(d_sorted[..., :1], bool),
          d_sorted[..., 1:] != d_sorted[..., :-1]], axis=-1)
     run_start = jnp.where(new_run, idx, 0)
-    run_start = jax.lax.cummax(run_start, axis=-1)
+    run_start = jax.lax.cummax(run_start, axis=run_start.ndim - 1)
     rank_sorted = idx - run_start
     # unsort
     inv = jnp.argsort(order, axis=-1, stable=True)

@@ -205,10 +205,11 @@ def non_local_inds(fflow, bflow, ws, wt, stride0, stride1):
     off_h, off_w = search_offsets(ctr_h, ctr_w, float(stride1), ws, H, W,
                                   True, False)
     cells = jnp.arange(ws, dtype=fflow.dtype)
-    ph = ctr_h[..., None] + stride1 * (cells[:, None, None]
-                                       - off_h[..., None])  # [B,T,W_t,ws,nH,nW]
-    pw = ctr_w[..., None] + stride1 * (cells[:, None, None]
-                                       - off_w[..., None])
+    # [B,T,W_t,ws,nH,nW]
+    ph = ctr_h[:, :, :, None] + stride1 * (cells[:, None, None]
+                                           - off_h[:, :, :, None])
+    pw = ctr_w[:, :, :, None] + stride1 * (cells[:, None, None]
+                                           - off_w[:, :, :, None])
     tj = jnp.broadcast_to(
         tj_tab[None, :, :, None, None, None, None].astype(fflow.dtype),
         (B, T, W_t, ws, ws, nH, nW))

@@ -105,16 +105,47 @@ def patch_fold_counts(H, W, ps, stride):
     return counts[sH:sH + H, sW:sW + W]
 
 
+def _use_warp_path(cfg):
+    from stnls_tpu.ops.nls_warp import warp_path_supported
+    impl = cfg.get("impl", "auto")
+    if impl == "lattice":
+        return False
+    ok = (warp_path_supported(itype=cfg["itype"], pt=cfg["pt"],
+                              stride1=cfg["stride1"],
+                              dilation=cfg["dilation"])
+          and cfg["strideQ"] in (None, cfg["stride0"])
+          and cfg["ws_interior"] <= 0
+          and float(cfg["dilation"]).is_integer())
+    if impl == "warp":
+        assert ok, "warp impl unsupported for this config"
+    return ok
+
+
 def nls_pipeline(vid0, vid1, flows, cfg):
-    """Full forward: search volume -> self_action -> top-K."""
-    dists, inds3 = nls_search_volume(
-        vid0, vid1, flows, ws=cfg["ws"], wt=cfg["wt"], ps=cfg["ps"],
-        stride0=cfg["stride0"], stride1=cfg["stride1"],
-        strideQ=cfg["strideQ"], dist_type=cfg["dist_type"],
-        dilation=cfg["dilation"], pt=cfg["pt"],
-        reflect_bounds_=cfg["reflect_bounds"], full_ws=cfg["full_ws"],
-        use_adj=cfg["use_adj"], off_Hq=cfg["off_Hq"], off_Wq=cfg["off_Wq"],
-        itype=cfg["itype"], ws_interior=cfg["ws_interior"])
+    """Full forward: search volume -> self_action -> top-K.
+
+    Two equivalent volume implementations: the general lattice engine and
+    the warp-decomposition fast path (ops/nls_warp.py, auto-selected when
+    the config allows; cfg["impl"] in {"auto","warp","lattice"} forces)."""
+    if _use_warp_path(cfg):
+        from stnls_tpu.ops.nls_warp import nls_warp_volume
+        dists, inds3 = nls_warp_volume(
+            vid0, vid1, flows, ws=cfg["ws"], wt=cfg["wt"], ps=cfg["ps"],
+            stride0=cfg["stride0"], stride1=cfg["stride1"],
+            dist_type=cfg["dist_type"], dilation=cfg["dilation"],
+            reflect_bounds_=cfg["reflect_bounds"], full_ws=cfg["full_ws"],
+            use_adj=cfg["use_adj"], off_Hq=cfg["off_Hq"],
+            off_Wq=cfg["off_Wq"])
+    else:
+        dists, inds3 = nls_search_volume(
+            vid0, vid1, flows, ws=cfg["ws"], wt=cfg["wt"], ps=cfg["ps"],
+            stride0=cfg["stride0"], stride1=cfg["stride1"],
+            strideQ=cfg["strideQ"], dist_type=cfg["dist_type"],
+            dilation=cfg["dilation"], pt=cfg["pt"],
+            reflect_bounds_=cfg["reflect_bounds"], full_ws=cfg["full_ws"],
+            use_adj=cfg["use_adj"], off_Hq=cfg["off_Hq"],
+            off_Wq=cfg["off_Wq"], itype=cfg["itype"],
+            ws_interior=cfg["ws_interior"])
     return _self_action_topk(
         dists, inds3, self_action=cfg["self_action"],
         topk_mode=cfg["topk_mode"], k=cfg["k"], wt=cfg["wt"],
@@ -171,7 +202,8 @@ class NonLocalSearch:
                  dist_type="l2", dilation=1, pt=1, self_action=None,
                  topk_mode="all", ws_interior=0, reflect_bounds=True,
                  full_ws=True, use_adj=False, normalize_bwd=False, k_agg=-1,
-                 off_Hq=0, off_Wq=0, strideQ=None, itype="float"):
+                 off_Hq=0, off_Wq=0, strideQ=None, itype="float",
+                 impl="auto"):
         self.cfg = dict(
             ws=ws, wt=wt, ps=ps, k=k, nheads=nheads, stride0=stride0,
             stride1=stride1, dist_type=dist_type, dilation=dilation, pt=pt,
@@ -239,7 +271,7 @@ def extract_config(cfg, restrict=True):
              "ws_interior": 0, "reflect_bounds": True, "full_ws": True,
              "self_action": None, "use_adj": False,
              "normalize_bwd": False, "k_agg": -1, "topk_mode": "all",
-             "off_Hq": 0, "off_Wq": 0, "strideQ": None, "itype": "float"}
+             "off_Hq": 0, "off_Wq": 0, "strideQ": None, "itype": "float", "impl": "auto"}
     return extract_pairs(cfg, pairs, restrict=restrict)
 
 
