@@ -26,7 +26,8 @@ class NonLocalDenoiser(fnn.Module):
     stride0: int = 1
     nres: int = 2
 
-    def setup(self):
+    @fnn.compact
+    def __call__(self, vid, flows=None, state=None):
         io_dim = self.embed_dim * self.nheads
         attn_cfg = {"nheads": self.nheads, "embed_dim": self.embed_dim,
                     "use_attn_projection": True, "use_attn_flow": True}
@@ -38,19 +39,15 @@ class NonLocalDenoiser(fnn.Module):
                      "dist_type": "l2"}
         agg_cfg = {"agg_name": "gather", "ps": self.ps,
                    "stride0": self.stride0, "itype": "float"}
-        self.attn = NonLocalAttention(attn_cfg, search_cfg, normz_cfg,
-                                      agg_cfg)
-        self.res = ResBlockList(self.nres, io_dim)
-        self.chnl = ChannelAttention(io_dim)
-        self.io_dim = io_dim
 
-    def __call__(self, vid, flows=None, state=None):
         B, T, C, H, W = vid.shape
-        x = _conv2d(vid.reshape(B * T, C, H, W), self.io_dim, 3, "embed")
-        x = x.reshape(B, T, self.io_dim, H, W)
-        y, state = self.attn(x, flows, state)
+        x = _conv2d(vid.reshape(B * T, C, H, W), io_dim, 3, "embed")
+        x = x.reshape(B, T, io_dim, H, W)
+        y, state = NonLocalAttention(attn_cfg, search_cfg, normz_cfg,
+                                     agg_cfg, name="attn")(x, flows, state)
         y = x + y
-        z = self.res(y.reshape(B * T, self.io_dim, H, W))
-        z = self.chnl(z)
+        z = ResBlockList(self.nres, io_dim, name="res")(
+            y.reshape(B * T, io_dim, H, W))
+        z = ChannelAttention(io_dim, name="chnl")(z)
         out = _conv2d(z, C, 3, "out").reshape(B, T, C, H, W)
         return vid + out, state
