@@ -62,21 +62,29 @@ def main():
     def loss(v_in, fflow, bflow):
         return jnp.mean(attn(v_in, fflow, bflow) ** 2)
 
-    step = jax.jit(jax.grad(loss, argnums=(0, 1)))
+    def timed(fn, n_iter=10):
+        out = jax.block_until_ready(fn(vid, fflow, bflow))  # compile
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            out = fn(vid, fflow, bflow)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n_iter
 
-    # warmup / compile
-    g = jax.block_until_ready(step(vid, fflow, bflow))
-    # steady state
-    n_iter = 10
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        g = step(vid, fflow, bflow)
-    jax.block_until_ready(g)
-    dt = (time.perf_counter() - t0) / n_iter
+    # fwd+bwd is the headline; the current axon runtime sometimes faults on
+    # the backward executable ("TPU device error"), so fall back to
+    # fwd-only rather than reporting nothing.
+    mode = "fwd+bwd"
+    try:
+        dt = timed(jax.jit(jax.grad(loss, argnums=(0, 1))))
+    except Exception as e:
+        sys.stderr.write(f"fwd+bwd failed ({type(e).__name__}); "
+                         "falling back to fwd-only\n")
+        mode = "fwd-only"
+        dt = timed(jax.jit(attn))
     fps = T / dt
 
     print(json.dumps({
-        "metric": "shifted-NLS attention fwd+bwd frames/sec "
+        "metric": f"shifted-NLS attention {mode} frames/sec "
                   "(128^2,T=5,ws=5,wt=2,ps=3,K=10,HD=2,stride1=0.5)",
         "value": round(fps, 2),
         "unit": "frames/sec",

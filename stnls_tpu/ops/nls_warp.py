@@ -108,60 +108,51 @@ def nls_warp_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
         idx2 = jnp.broadcast_to(idx, (B, HD) + tail).reshape(B, HD, n)
         return jnp.take_along_axis(chan, idx2, axis=2).reshape((B, HD) + tail)
 
-    # -- warp corner plumbing shared across channels --
-    corner_meta = []  # per (a,b): (ok, [(wgt, idx)] x4)
-    for a in range(R):
-        ph = o_h + a * step
-        if reflect_bounds_:
-            ph = reflect_bounds(ph, kH)
-        vh = in_bounds(ph, kH)
-        h0 = jnp.floor(ph)
-        row = []
-        for b in range(R):
-            pw = o_w + b * step
-            if reflect_bounds_:
-                pw = reflect_bounds(pw, kW)
-            ok = vh & in_bounds(pw, kW)
-            w0 = jnp.floor(pw)
-            corners = []
-            for di in (0, 1):
-                for dj in (0, 1):
-                    hc = h0 + di
-                    wc = w0 + dj
-                    wgt = (jnp.maximum(0., 1. - jnp.abs(hc - ph))
-                           * jnp.maximum(0., 1. - jnp.abs(wc - pw)))
-                    wgt = jnp.where(in_bounds(hc, kH) & in_bounds(wc, kW),
-                                    wgt, 0.)
-                    wgt = jnp.where(ok, wgt, 0.)
-                    idx = (ptj * kH
-                           + jnp.clip(hc, 0, kH - 1).astype(jnp.int32)) * kW \
-                        + jnp.clip(wc, 0, kW - 1).astype(jnp.int32)
-                    corners.append((wgt, idx))
-            row.append((ok, corners))
-        corner_meta.append(row)
-
-    vmask = jnp.stack(
-        [jnp.stack([row_entry[0] for row_entry in row], 0)
-         for row in corner_meta], 0)  # [R,R,B,HD,T,W_t,nH,nW] bool
-
-    need_l2_mask = dist_type != "prod"
-    dists = jnp.zeros((B, HD, T, W_t, ws, ws, nH, nW), dtype)
     wspan = s1s * (ws - 1) + 1
 
-    for f in range(F):
-        # R x R warp stack for this channel
-        reg_rows = []
+    def per_channel(v0_f, v1_f, o_h, o_w):
+        """Warp stack + correlation for one channel. Wrapped in
+        jax.checkpoint: the backward recomputes the R^2 warps and the
+        ps^2 correlation slices from the (frame-sized) inputs instead of
+        storing ~ps^2 search-volume-sized residuals, which OOMs HBM."""
+        # -- corners + warp stack --
+        reg_rows, ok_rows = [], []
         for a in range(R):
-            row = []
+            ph = o_h + a * step
+            if reflect_bounds_:
+                ph = reflect_bounds(ph, kH)
+            vh = in_bounds(ph, kH)
+            h0 = jnp.floor(ph)
+            row, okr = [], []
             for b in range(R):
-                ok, corners = corner_meta[a][b]
+                pw = o_w + b * step
+                if reflect_bounds_:
+                    pw = reflect_bounds(pw, kW)
+                ok = vh & in_bounds(pw, kW)
+                w0 = jnp.floor(pw)
                 reg = 0.
-                for wgt, idx in corners:
-                    reg = reg + wgt * take1(v1_cf[:, :, f], idx)
+                for di in (0, 1):
+                    for dj in (0, 1):
+                        hc = h0 + di
+                        wc = w0 + dj
+                        wgt = (jnp.maximum(0., 1. - jnp.abs(hc - ph))
+                               * jnp.maximum(0., 1. - jnp.abs(wc - pw)))
+                        wgt = jnp.where(
+                            in_bounds(hc, kH) & in_bounds(wc, kW), wgt, 0.)
+                        wgt = jnp.where(ok, wgt, 0.)
+                        idx = (ptj * kH + jnp.clip(hc, 0, kH - 1)
+                               .astype(jnp.int32)) * kW \
+                            + jnp.clip(wc, 0, kW - 1).astype(jnp.int32)
+                        reg = reg + wgt * take1(v1_f, idx)
                 row.append(reg)
+                okr.append(ok)
             reg_rows.append(jnp.stack(row, 0))
-        REG = jnp.stack(reg_rows, 0)  # [R,R,B,HD,T,W_t,nH,nW]
+            ok_rows.append(jnp.stack(okr, 0))
+        REG = jnp.stack(reg_rows, 0)    # [R,R,B,HD,T,W_t,nH,nW]
+        vmask = jnp.stack(ok_rows, 0)   # [R,R,B,HD,T,W_t,nH,nW] bool
 
+        # -- correlation by static strided slicing --
+        acc = jnp.zeros((B, HD, T, W_t, ws, ws, nH, nW), dtype)
         for pi in range(ps):
             rh = ref_h + off_Hq + dilation * (pi + patch_offset)
             if reflect_bounds_:
@@ -173,28 +164,47 @@ def nls_warp_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
                 if reflect_bounds_:
                     rw = reflect_bounds(rw, qW)
                 ok0 = ok_h[:, None] & in_bounds(rw, qW)[None, :]
-                p0 = vid0[:, :, :, f][:, :, :, jnp.clip(rh, 0, qH - 1)][
+                p0 = v0_f[:, :, :, jnp.clip(rh, 0, qH - 1)][
                     :, :, :, :, jnp.clip(rw, 0, qW - 1)]
+                # fold the vid0-side validity into p0 itself
                 p0 = jnp.where(ok0[None, None, None], p0, 0.)
                 p0 = p0[:, :, :, None, None, None]  # [B,HD,T,1,1,1,nH,nW]
                 b0 = pj * pxs
                 reg = REG[a0:a0 + wspan:s1s, b0:b0 + wspan:s1s]
                 reg = jnp.moveaxis(reg, (0, 1), (4, 5))
-                # reg [B,HD,T,W_t,ws,ws,nH,nW]
+                # reg [B,HD,T,W_t,ws,ws,nH,nW]; invalid warp samples are
+                # already zero (corner weights were masked).
                 if dist_type == "prod":
-                    term = p0 * reg
-                    okm = (vmask[a0:a0 + wspan:s1s, b0:b0 + wspan:s1s]
-                           & ok0[None, None])
-                    okm = jnp.moveaxis(okm, (0, 1), (4, 5))
-                    term = jnp.where(okm, term, 0.)
+                    # pair-skip: p0==0 or reg==0 at invalid -> term 0
+                    acc = acc + p0 * reg
                 else:
-                    d_ = p0 - reg
-                    term = d_ * d_
-                    okm = (vmask[a0:a0 + wspan:s1s, b0:b0 + wspan:s1s]
-                           & ok0[None, None])
-                    okm = jnp.moveaxis(okm, (0, 1), (4, 5))
-                    term = jnp.where(okm, term, 0.)
-                dists = dists + term
+                    # expanded l2 so the backward needs no (p0-reg)
+                    # residual per patch pixel:
+                    #   valid pair:  (p0-reg)^2 = p0^2 - 2 p0 reg + reg^2
+                    #   invalid warp sample (vm=0): contribute 0
+                    #   invalid query pixel (p0 masked to 0): contribute 0
+                    vm = jnp.moveaxis(
+                        vmask[a0:a0 + wspan:s1s, b0:b0 + wspan:s1s],
+                        (0, 1), (4, 5)).astype(dtype)
+                    ok0f = ok0.astype(dtype)[None, None, None, None, None,
+                                             None]
+                    acc = acc + (vm * (p0 * p0) - 2. * (p0 * reg)
+                                 + ok0f * (reg * reg))
+        return acc
+
+    per_channel = jax.checkpoint(per_channel)
+
+    # scan over channels: the backward then holds one channel's warp-stack
+    # cotangent at a time instead of F of them.
+    v0_scan = jnp.moveaxis(vid0, 3, 0)          # [F,B,HD,T,qH,qW]
+    v1_scan = jnp.moveaxis(v1_cf, 2, 0)         # [F,B,HD,M]
+
+    def body(acc, xs):
+        v0_f, v1_f = xs
+        return acc + per_channel(v0_f, v1_f, o_h, o_w), None
+
+    acc0 = jnp.zeros((B, HD, T, W_t, ws, ws, nH, nW), dtype)
+    dists, _ = jax.lax.scan(body, acc0, (v0_scan, v1_scan))
 
     _, _, init_val = dist_type_select(dist_type)
     dists = jnp.where(valid_patch, dists, jnp.asarray(init_val, dtype))

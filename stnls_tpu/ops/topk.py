@@ -7,6 +7,7 @@ back into the selected dists exactly like torch.gather's backward.
 Layout: offset components on a leading [C, ..., S] axis (see ops/nls.py).
 """
 
+import jax
 import jax.numpy as jnp
 
 
@@ -14,11 +15,13 @@ def standard_topk(dists, inds3, k, descending):
     """dists [..., S], inds3 [C, ..., S] -> top-k along the search axis.
 
     Returns (dists_k, inds3_k, order) with order [..., k] int32.
+    Uses lax.top_k (TPU-native partial selection) instead of the
+    reference's full argsort (topk.py:209).
     """
     S = dists.shape[-1]
     k = min(k, S) if k > 0 else S
-    key = -dists if descending else dists
-    order = jnp.argsort(key, axis=-1)[..., :k]
+    key = dists if descending else -dists
+    _, order = jax.lax.top_k(key, k)
     dists_k = jnp.take_along_axis(dists, order, axis=-1)
     inds3_k = jnp.take_along_axis(inds3, order[None], axis=-1)
     return dists_k, inds3_k, order.astype(jnp.int32)
