@@ -3,16 +3,25 @@ frames/sec on the README-example config (BASELINE.md config 2:
 B=1, T=5, F=16, 128x128, ws=5, wt=2, ps=3, K=10, HD=2, stride1=0.5,
 float/bilinear path, anchored).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (plus a
+"compile_s" field).
 
 vs_baseline compares against an estimated A100 fwd+bwd throughput of the
 reference CUDA implementation on this config (the reference publishes no
 numbers — bench/search.py is a harness only, SURVEY §6); the estimate
 (500 frames/s) is derived from the op's arithmetic/memory footprint and is
 held fixed across rounds so the ratio tracks our progress.
+
+Measurement discipline (axon runtime quirks, see benchmarks/probe_*.py):
+exactly ONE jitted executable runs in this process (a second executable
+degrades ~1000x), and an input scalar varies per iteration (identical
+inputs are dedup-cached by the runtime). The fwd-only fallback re-execs a
+fresh subprocess for the same reason.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -23,7 +32,7 @@ import numpy as np
 A100_EST_FPS = 500.0
 
 
-def main():
+def build():
     import jax
     import jax.numpy as jnp
     import stnls_tpu
@@ -46,7 +55,8 @@ def main():
         self_action="anchor", itype="float")
     gather = stnls_tpu.agg.NonLocalGather(ps=ps, stride0=stride0)
 
-    def attn(v_in, fflow, bflow):
+    def attn(v_in, fflow, bflow, s):
+        v_in = v_in + s
         q = jnp.einsum("btchw,cd->btdhw", v_in, proj_w)
         k = jnp.einsum("btchw,cd->btdhw", v_in, proj_w)
         v = jnp.einsum("btchw,cd->btdhw", v_in, proj_w)
@@ -59,37 +69,60 @@ def main():
             .reshape(Bs, Ts, Ks, HDs * Fs, Hs, Ws)
         return jnp.einsum("btkchw,kcd->btdhw", stack, stack_w)
 
-    def loss(v_in, fflow, bflow):
-        return jnp.mean(attn(v_in, fflow, bflow) ** 2)
+    def loss(v_in, fflow, bflow, s):
+        return jnp.mean(attn(v_in, fflow, bflow, s) ** 2)
 
-    def timed(fn, n_iter=10):
-        out = jax.block_until_ready(fn(vid, fflow, bflow))  # compile
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            out = fn(vid, fflow, bflow)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / n_iter
+    return T, (vid, fflow, bflow), attn, loss
 
-    # fwd+bwd is the headline; the current axon runtime sometimes faults on
-    # the backward executable ("TPU device error"), so fall back to
-    # fwd-only rather than reporting nothing.
-    mode = "fwd+bwd"
-    try:
-        dt = timed(jax.jit(jax.grad(loss, argnums=(0, 1))))
-    except Exception as e:
-        sys.stderr.write(f"fwd+bwd failed ({type(e).__name__}); "
-                         "falling back to fwd-only\n")
-        mode = "fwd-only"
-        dt = timed(jax.jit(attn))
-    fps = T / dt
 
+def run(mode):
+    import jax
+    import jax.numpy as jnp
+
+    T, args, attn, loss = build()
+    if mode == "fwd+bwd":
+        fn = jax.jit(jax.grad(loss, argnums=(0, 1)))
+    else:
+        fn = jax.jit(attn)
+
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(fn(*args, jnp.float32(0.)))
+    compile_s = time.perf_counter() - t0
+    n_iter = 20
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        out = fn(*args, jnp.float32(1e-6 * i))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iter
+    return T / dt, compile_s
+
+
+def emit(mode, fps, compile_s):
     print(json.dumps({
         "metric": f"shifted-NLS attention {mode} frames/sec "
                   "(128^2,T=5,ws=5,wt=2,ps=3,K=10,HD=2,stride1=0.5)",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / A100_EST_FPS, 3),
+        "compile_s": round(compile_s, 1),
     }))
+
+
+def main():
+    mode = os.environ.get("BENCH_MODE", "fwd+bwd")
+    try:
+        fps, compile_s = run(mode)
+    except Exception as e:
+        sys.stderr.write(f"{mode} failed ({type(e).__name__}: {e})\n")
+        if mode == "fwd+bwd":
+            # fresh process for the fallback executable (axon runtime
+            # degrades the second executable run in one process)
+            env = dict(os.environ, BENCH_MODE="fwd")
+            proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                  env=env, timeout=1200)
+            sys.exit(proc.returncode)
+        raise
+    emit(mode, fps, compile_s)
 
 
 if __name__ == "__main__":

@@ -139,14 +139,18 @@ def lattice_search(vid0, vid1, ctr_t, ctr_h, ctr_w, *, ws, stride1,
         np.stack([pks.ravel(), pis.ravel(), pjs.ravel()], 1), jnp.int32)
 
     cell_shape = (B, HD, T_q, G, ws, ws, nH, nW)
+    cell_tail = cell_shape[2:]
     ctr_t8 = ctr_t[..., None, None, :, :]  # [...,G,1,1,nH?,nW?]
 
-    def _take1(chan, idx):
-        """Per-channel gather: chan [B,HD,M] -> [B,HD,*idx.shape[2:]]."""
-        tail = idx.shape[2:]
+    def _takeF(chans, idx, tail):
+        """Batched all-channels gather: chans [B,HD,F,M], idx broadcastable
+        to (B,HD)+tail -> [B,HD,F]+tail. One gather for all F channels
+        (the round-1 per-channel loop unrolled F x 4 gathers into the scan
+        body and blew up compile time, VERDICT r1 weak #3)."""
         n = int(np.prod(tail))
-        idx2 = jnp.broadcast_to(idx, (B, HD) + tail).reshape(B, HD, n)
-        return jnp.take_along_axis(chan, idx2, axis=2).reshape((B, HD) + tail)
+        idx2 = jnp.broadcast_to(idx, (B, HD) + tail).reshape(B, HD, 1, n)
+        out = jnp.take_along_axis(chans, idx2, axis=3)
+        return out.reshape((B, HD, F) + tail)
 
     def body(acc, pix_off):
         pk, pi, pj = pix_off[0], pix_off[1], pix_off[2]
@@ -172,14 +176,16 @@ def lattice_search(vid0, vid1, ctr_t, ctr_h, ctr_w, *, ws, stride1,
             ph, pw = reflect_bounds(ph, kH), reflect_bounds(pw, kW)
         v_prop = in_bounds(ph, kH) & in_bounds(pw, kW)
 
+        # p0 [B,HD,F,T,1,1,1,nH,nW]
+        p0 = _takeF(v0_cf, ridx, (T_q, nH, nW))[:, :, :, :, None, None, None]
         if is_int:
-            corner_idx = [(ptj * kH + jnp.clip(ph, 0, kH - 1)) * kW
-                          + jnp.clip(pw, 0, kW - 1)]
-            corner_wgt = [None]
+            idx = (ptj * kH + jnp.clip(ph, 0, kH - 1)) * kW \
+                + jnp.clip(pw, 0, kW - 1)
+            p1 = _takeF(v1_cf, idx, cell_tail)
         else:
             h0 = jnp.floor(ph)
             w0 = jnp.floor(pw)
-            corner_idx, corner_wgt = [], []
+            p1 = 0.
             for di in (0, 1):
                 for dj in (0, 1):
                     hc = h0 + di
@@ -188,34 +194,27 @@ def lattice_search(vid0, vid1, ctr_t, ctr_h, ctr_w, *, ws, stride1,
                            * jnp.maximum(0., 1. - jnp.abs(wc - pw)))
                     wgt = jnp.where(in_bounds(hc, kH) & in_bounds(wc, kW),
                                     wgt, 0.)
-                    corner_idx.append(
-                        (ptj * kH + jnp.clip(hc, 0, kH - 1).astype(jnp.int32))
-                        * kW + jnp.clip(wc, 0, kW - 1).astype(jnp.int32))
-                    corner_wgt.append(jnp.broadcast_to(wgt, cell_shape))
-        corner_idx = [jnp.broadcast_to(ci, cell_shape) for ci in corner_idx]
+                    ci = (ptj * kH + jnp.clip(hc, 0, kH - 1)
+                          .astype(jnp.int32)) * kW \
+                        + jnp.clip(wc, 0, kW - 1).astype(jnp.int32)
+                    g = _takeF(v1_cf, ci, cell_tail)
+                    p1 = p1 + wgt[:, :, None] * g
 
-        # -- accumulate the F-contraction one channel at a time --
+        # -- F-contraction (VPU multiply-reduce over the channel axis) --
         pair_ok = v_prop & v_ref[None, None, None, None, None, None]
-        contrib = jnp.zeros(cell_shape, dtype)
-        for f in range(F):
-            p0 = _take1(v0_cf[:, :, f], ridx)  # [B,HD,T,nH,nW]
-            p0 = p0[:, :, :, None, None, None]  # [B,HD,T,1,1,1,nH,nW]
-            if is_int:
-                p1 = _take1(v1_cf[:, :, f], corner_idx[0])
-            else:
-                p1 = 0.
-                for ci, cw in zip(corner_idx, corner_wgt):
-                    p1 = p1 + cw * _take1(v1_cf[:, :, f], ci)
-            if dist_type == "prod":
-                contrib = contrib + p0 * p1
-            else:
-                d = p0 - p1
-                contrib = contrib + d * d
+        if dist_type == "prod":
+            contrib = jnp.sum(p0 * p1, axis=2)
+        else:
+            diff = p0 - p1
+            contrib = jnp.sum(diff * diff, axis=2)
         contrib = jnp.where(pair_ok, contrib, 0.)
         return acc + contrib, None
 
     acc0 = jnp.zeros(cell_shape, dtype)
-    dists, _ = jax.lax.scan(body, acc0, pix_offsets)
+    # checkpoint: the backward re-runs the gathers from the (frame-sized)
+    # closed-over videos instead of storing 4 corner stacks x ps^2 steps of
+    # search-volume-sized residuals.
+    dists, _ = jax.lax.scan(jax.checkpoint(body), acc0, pix_offsets)
 
     # -- invalidate out-of-frame centers / unsearched cells / bad edges --
     _, _, init_val = dist_type_select(dist_type)

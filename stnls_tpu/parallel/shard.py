@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P, NamedSharding
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from stnls_tpu.ops.nls import nls_search_volume_chunk, dist_type_select
 from stnls_tpu.ops import anchor as anchor_ops
@@ -103,7 +103,7 @@ def time_sharded_search(vid0, vid1, flows, mesh, *, ws, wt, ps, k,
         in_specs=(P(None, None, time_axis), P(None, None, time_axis),
                   P(None, None, time_axis)),
         out_specs=(P(None, None, time_axis), P(None, None, time_axis)),
-        check_rep=False)
+        check_vma=False)
     return fn(vid0, vid1, flows)
 
 

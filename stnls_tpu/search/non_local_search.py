@@ -105,17 +105,26 @@ def patch_fold_counts(H, W, ps, stride):
     return counts[sH:sH + H, sW:sW + W]
 
 
-def _use_warp_path(cfg):
-    from stnls_tpu.ops.nls_warp import warp_path_supported
+def _use_warp_path(cfg, vid_shape):
+    from stnls_tpu.ops.nls_warp import warp_path_supported, warp_pad
     impl = cfg.get("impl", "auto")
     if impl == "lattice":
         return False
     ok = (warp_path_supported(itype=cfg["itype"], pt=cfg["pt"],
                               stride1=cfg["stride1"],
-                              dilation=cfg["dilation"])
+                              dilation=cfg["dilation"],
+                              reflect_bounds=cfg["reflect_bounds"])
           and cfg["strideQ"] in (None, cfg["stride0"])
           and cfg["ws_interior"] <= 0
           and float(cfg["dilation"]).is_integer())
+    if ok:
+        # single-fold reflect pad must fit the frame
+        H, W = vid_shape[-2:]
+        pad = warp_pad(ws=cfg["ws"], ps=cfg["ps"], stride1=cfg["stride1"],
+                       dilation=cfg["dilation"])
+        pad0 = cfg["dilation"] * (cfg["ps"] - 1) + 1 \
+            + max(abs(cfg["off_Hq"]), abs(cfg["off_Wq"]))
+        ok = max(pad, pad0) <= min(H, W) - 1
     if impl == "warp":
         assert ok, "warp impl unsupported for this config"
     return ok
@@ -127,15 +136,15 @@ def nls_pipeline(vid0, vid1, flows, cfg):
     Two equivalent volume implementations: the general lattice engine and
     the warp-decomposition fast path (ops/nls_warp.py, auto-selected when
     the config allows; cfg["impl"] in {"auto","warp","lattice"} forces)."""
-    if _use_warp_path(cfg):
+    if _use_warp_path(cfg, vid0.shape):
         from stnls_tpu.ops.nls_warp import nls_warp_volume
         dists, inds3 = nls_warp_volume(
             vid0, vid1, flows, ws=cfg["ws"], wt=cfg["wt"], ps=cfg["ps"],
             stride0=cfg["stride0"], stride1=cfg["stride1"],
             dist_type=cfg["dist_type"], dilation=cfg["dilation"],
-            reflect_bounds_=cfg["reflect_bounds"], full_ws=cfg["full_ws"],
-            use_adj=cfg["use_adj"], off_Hq=cfg["off_Hq"],
-            off_Wq=cfg["off_Wq"])
+            full_ws=cfg["full_ws"], use_adj=cfg["use_adj"],
+            off_Hq=cfg["off_Hq"], off_Wq=cfg["off_Wq"],
+            channel_chunk=cfg.get("channel_chunk", 1))
     else:
         dists, inds3 = nls_search_volume(
             vid0, vid1, flows, ws=cfg["ws"], wt=cfg["wt"], ps=cfg["ps"],
