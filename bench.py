@@ -13,10 +13,12 @@ numbers — bench/search.py is a harness only, SURVEY §6); the estimate
 held fixed across rounds so the ratio tracks our progress.
 
 Measurement discipline (axon runtime quirks, see benchmarks/probe_*.py):
-exactly ONE jitted executable runs in this process (a second executable
-degrades ~1000x), and an input scalar varies per iteration (identical
-inputs are dedup-cached by the runtime). The fwd-only fallback re-execs a
-fresh subprocess for the same reason.
+block_until_ready does NOT synchronize through the axon tunnel (async
+mirage) — only device->host transfers do. So each iteration's input is
+data-chained to the previous iteration's output and the loop is closed
+with a float() sync; identical inputs are also dedup-cached, hence the
+varying scalar. The fwd-only fallback re-execs a fresh subprocess so the
+async backlog of a failed fwd+bwd attempt can't pollute the measurement.
 """
 
 import json
@@ -85,14 +87,24 @@ def run(mode):
     else:
         fn = jax.jit(attn)
 
+    def chain(out):
+        """Scalar data-dependency on the previous output: forces sequential
+        execution and, via the final float(), a true device sync."""
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return 1e-30 * jnp.sum(leaf)
+
     t0 = time.perf_counter()
-    out = jax.block_until_ready(fn(*args, jnp.float32(0.)))
+    out = fn(*args, jnp.float32(0.))
+    s = chain(out)
+    float(s)  # true sync (block_until_ready is async through axon)
     compile_s = time.perf_counter() - t0
-    n_iter = 20
+
+    n_iter = 10
     t0 = time.perf_counter()
     for i in range(n_iter):
-        out = fn(*args, jnp.float32(1e-6 * i))
-    jax.block_until_ready(out)
+        out = fn(*args, s + jnp.float32(1e-6 * i))
+        s = chain(out)
+    float(s)
     dt = (time.perf_counter() - t0) / n_iter
     return T / dt, compile_s
 

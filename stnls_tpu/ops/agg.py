@@ -30,8 +30,10 @@ jax.grad of these forwards, replacing gather_{int,bilin2d}_backward.
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from stnls_tpu.ops.geometry import reflect_bounds, in_bounds, num_queries
+from stnls_tpu.ops.pgather import patch_gather, pad_frames_cf
 
 
 def _fold_count_1d(L, n, stride, d):
@@ -133,12 +135,67 @@ def _take1(chan, idx):
     return jnp.take_along_axis(chan, idx2, axis=2).reshape((B, HD) + tail)
 
 
+def _patch_geometry(nl_h, nl_w, ps, dilation, patch_offset, pad, H, W,
+                    is_int):
+    """Patch-gather geometry shared by the gather ops: integer patch
+    origin (top-left support pixel, padded coords), bilinear fractional
+    parts (float path), and the support size S."""
+    o_h = nl_h + dilation * patch_offset
+    o_w = nl_w + dilation * patch_offset
+    if is_int:
+        S = dilation * (ps - 1) + 1
+        oi = o_h.astype(jnp.int32) + pad
+        oj = o_w.astype(jnp.int32) + pad
+        fh = fw = None
+    else:
+        S = dilation * (ps - 1) + 2
+        fi = jnp.floor(o_h)
+        fj = jnp.floor(o_w)
+        fh = o_h - fi
+        fw = o_w - fj
+        oi = fi.astype(jnp.int32) + pad
+        oj = fj.astype(jnp.int32) + pad
+    return oi, oj, fh, fw, S, o_h, o_w
+
+
+def _patch_pixel(P, pi, pj, dilation, fh, fw, is_int, *, masks=None):
+    """Read patch pixel (pi, pj) from the gathered support P
+    [B,HD,C,S,S,*tail] -> [B,HD,C,*tail]; bilinear in the float path.
+    masks: optional (ok, mh0, mh1, mw0, mw1) validity multipliers for
+    reflect_bounds=False (each broadcastable to the tail)."""
+    a, b = pi * dilation, pj * dilation
+    if is_int:
+        pv = P[:, :, :, a, b]
+        if masks is not None:
+            pv = pv * masks[0]
+        return pv
+    wh = (1. - fh, fh)
+    ww = (1. - fw, fw)
+    if masks is not None:
+        ok, mh0, mh1, mw0, mw1 = masks
+        wh = (wh[0] * mh0 * ok, wh[1] * mh1 * ok)
+        ww = (ww[0] * mw0, ww[1] * mw1)
+    pv = 0.
+    for u in (0, 1):
+        for v in (0, 1):
+            pv = pv + (wh[u] * ww[v])[:, :, None] * P[:, :, :, a + u, b + v]
+    return pv
+
+
 def nl_gather_stack(vid, weights, flows, *, ps, stride0, pt=1, dilation=1,
-                    reflect_bounds_=True, use_adj=False, itype="float"):
+                    reflect_bounds_=True, use_adj=False, itype="float",
+                    channel_chunk=4):
     """NonLocalGather: weighted non-local patch stack.
 
     vid [B,HD,T,F,H,W]; weights [B,HD,T,nH,nW,K]; flows [B,HD,T,nH,nW,K,3]
     (relative offsets) -> stack [B,HD,K,T,F,H,W], count-normalized.
+
+    TPU structure: ONE patch_gather per (channel chunk, pt) fetches the
+    S x S integer support of every (k, query) from a reflect-padded frame
+    (S = dilation*(ps-1)+1 int / +2 float); patch pixels then come from
+    static slices of the support with per-query bilinear corner weights.
+    Replaces gather_{int,bilin2d}_kernel.cu; the backward rides
+    patch_gather's windowed-scatter VJP instead of atomicAdd.
     """
     B, HD, T, F, H, W = vid.shape
     K = flows.shape[-2]
@@ -154,37 +211,56 @@ def nl_gather_stack(vid, weights, flows, *, ps, stride0, pt=1, dilation=1,
     ref_w = jnp.arange(nW, dtype=jnp.int32) * stride0
     nl_t, nl_h, nl_w = _km_centers(f_km, ref_t, ref_h, ref_w, T, H, W, is_int)
 
-    vid_cf = vid.reshape(B, HD, T, F, H * W).transpose(0, 1, 3, 2, 4) \
-        .reshape(B, HD, F, T * H * W)
+    pad = dilation * (ps - 1) + 2
+    assert pad <= min(H, W) - 1, "frame too small for single-fold pad"
+    vp, (Tp, Hp, Wp) = pad_frames_cf(vid, pad)
+    oi, oj, fh, fw, S, o_h, o_w = _patch_geometry(
+        nl_h, nl_w, ps, dilation, patch_offset, pad, H, W, is_int)
 
-    stack = jnp.zeros((B, HD, K, T, F, H, W), vid.dtype)
-    for pk in range(pt):
-        nt = reflect_bounds(nl_t + pk, T)
-        for pi in range(ps):
-            dHp = dilation * (pi + patch_offset)
-            h0, h1, sh = _valid_ref_slices(nH, stride0, dHp, H)
-            ph = nl_h + dHp
-            if reflect_bounds_:
-                ph = reflect_bounds(ph, H)
-            for pj in range(ps):
-                dWp = dilation * (pj + patch_offset)
-                w0, w1, sw = _valid_ref_slices(nW, stride0, dWp, W)
-                if h0 >= h1 or w0 >= w1:
-                    continue
-                pw = nl_w + dWp
-                if reflect_bounds_:
-                    pw = reflect_bounds(pw, W)
-                corners = _pix_corners(ph, pw, H, W, is_int)
-                chans = []
-                for f in range(F):
-                    pix_f = 0.
-                    for wgt, idx in corners:
-                        pix_f = pix_f + wgt * _take1(vid_cf[:, :, f],
-                                                     nt * (H * W) + idx)
-                    chans.append(pix_f * w_km)  # [B,HD,K,T,nH,nW]
-                val = jnp.stack(chans, axis=4)  # [B,HD,K,T,F,nH,nW]
-                stack = stack.at[:, :, :, :, :, sh, sw].add(
-                    val[..., h0:h1, w0:w1])
+    def pixel_masks(pi, pj):
+        if reflect_bounds_:
+            return None
+        a, b = pi * dilation, pj * dilation
+        ok = (in_bounds(o_h + a, H) & in_bounds(o_w + b, W)).astype(vid.dtype)
+        if is_int:
+            return (ok,)
+        mh = [in_bounds(oi - pad + a + u, H).astype(vid.dtype)
+              for u in (0, 1)]
+        mw = [in_bounds(oj - pad + b + v, W).astype(vid.dtype)
+              for v in (0, 1)]
+        return (ok, mh[0], mh[1], mw[0], mw[1])
+
+    C = max(1, min(channel_chunk, F))
+    while F % C:
+        C -= 1
+    nchunks = F // C
+    vp_scan = jnp.moveaxis(vp.reshape(B, HD, nchunks, C, -1), 2, 0)
+
+    def chunk_fn(v_c):
+        stack_c = jnp.zeros((B, HD, C, K, T, H, W), vid.dtype)
+        for pk in range(pt):
+            tj = jnp.broadcast_to(reflect_bounds(nl_t + pk, T),
+                                  (B, HD, K, T, nH, nW)).astype(jnp.int32)
+            P = patch_gather(v_c, (tj, oi, oj), (S, Tp, Hp, Wp))
+            for pi in range(ps):
+                dHp = dilation * (pi + patch_offset)
+                h0, h1, sh = _valid_ref_slices(nH, stride0, dHp, H)
+                for pj in range(ps):
+                    dWp = dilation * (pj + patch_offset)
+                    w0, w1, sw = _valid_ref_slices(nW, stride0, dWp, W)
+                    if h0 >= h1 or w0 >= w1:
+                        continue
+                    pv = _patch_pixel(P, pi, pj, dilation, fh, fw, is_int,
+                                      masks=pixel_masks(pi, pj))
+                    val = pv * w_km[:, :, None]  # [B,HD,C,K,T,nH,nW]
+                    stack_c = stack_c.at[:, :, :, :, :, sh, sw].add(
+                        val[..., h0:h1, w0:w1])
+        return stack_c
+
+    stacks = lax.map(jax.checkpoint(chunk_fn), vp_scan)
+    # [nchunks,B,HD,C,K,T,H,W] -> [B,HD,K,T,F,H,W]
+    stack = jnp.transpose(stacks, (1, 2, 4, 5, 0, 3, 6, 7)) \
+        .reshape(B, HD, K, T, F, H, W)
 
     counts = jnp.asarray(
         patch_overlap_counts(H, W, ps, stride0, dilation, use_adj), vid.dtype)
@@ -226,37 +302,56 @@ def nl_gather_add(vid, weights, flows, *, ps, strideIn, strideOut, pt=1,
     in_w = jnp.arange(nW, dtype=jnp.int32) * strideIn
     nl_t, nl_h, nl_w = _km_centers(f_km, ref_t, in_h, in_w, T, H, W, is_int)
 
-    vid_cf = vid.reshape(B, HD, T, F, H * W).transpose(0, 1, 3, 2, 4) \
-        .reshape(B, HD, F, T * H * W)
+    pad = dilation * (ps - 1) + 2
+    assert pad <= min(H, W) - 1, "frame too small for single-fold pad"
+    vp, (Tp, Hp, Wp) = pad_frames_cf(vid, pad)
+    oi, oj, fh, fw, S, o_h, o_w = _patch_geometry(
+        nl_h, nl_w, ps, dilation, patch_offset, pad, H, W, is_int)
 
-    out = jnp.zeros((B, HD, T, F, outH, outW), vid.dtype)
-    for pk in range(pt):
-        nt = reflect_bounds(nl_t + pk, T)
-        for pi in range(ps):
-            dHp = dilation * (pi + patch_offset)
-            h0, h1, sh = _valid_ref_slices(nH, strideOut, dHp, outH)
-            ph = nl_h + dHp
-            if reflect_bounds_:
-                ph = reflect_bounds(ph, H)
-            for pj in range(ps):
-                dWp = dilation * (pj + patch_offset)
-                w0, w1, sw = _valid_ref_slices(nW, strideOut, dWp, outW)
-                if h0 >= h1 or w0 >= w1:
-                    continue
-                pw = nl_w + dWp
-                if reflect_bounds_:
-                    pw = reflect_bounds(pw, W)
-                corners = _pix_corners(ph, pw, H, W, is_int)
-                chans = []
-                for f in range(F):
-                    pix_f = 0.
-                    for wgt, idx in corners:
-                        pix_f = pix_f + wgt * _take1(vid_cf[:, :, f],
-                                                     nt * (H * W) + idx)
-                    # sum over K while still K-major: [B,HD,T,nH,nW]
-                    chans.append(jnp.sum(pix_f * w_km, axis=2))
-                val = jnp.stack(chans, axis=3)  # [B,HD,T,F,nH,nW]
-                out = out.at[:, :, :, :, sh, sw].add(val[..., h0:h1, w0:w1])
+    def pixel_masks(pi, pj):
+        if reflect_bounds_:
+            return None
+        a, b = pi * dilation, pj * dilation
+        ok = (in_bounds(o_h + a, H) & in_bounds(o_w + b, W)).astype(vid.dtype)
+        if is_int:
+            return (ok,)
+        mh = [in_bounds(oi - pad + a + u, H).astype(vid.dtype)
+              for u in (0, 1)]
+        mw = [in_bounds(oj - pad + b + v, W).astype(vid.dtype)
+              for v in (0, 1)]
+        return (ok, mh[0], mh[1], mw[0], mw[1])
+
+    C = max(1, min(4, F))
+    while F % C:
+        C -= 1
+    nchunks = F // C
+    vp_scan = jnp.moveaxis(vp.reshape(B, HD, nchunks, C, -1), 2, 0)
+
+    def chunk_fn(v_c):
+        out_c = jnp.zeros((B, HD, C, T, outH, outW), vid.dtype)
+        for pk in range(pt):
+            tj = jnp.broadcast_to(reflect_bounds(nl_t + pk, T),
+                                  (B, HD, K, T, nH, nW)).astype(jnp.int32)
+            P = patch_gather(v_c, (tj, oi, oj), (S, Tp, Hp, Wp))
+            for pi in range(ps):
+                dHp = dilation * (pi + patch_offset)
+                h0, h1, sh = _valid_ref_slices(nH, strideOut, dHp, outH)
+                for pj in range(ps):
+                    dWp = dilation * (pj + patch_offset)
+                    w0, w1, sw = _valid_ref_slices(nW, strideOut, dWp, outW)
+                    if h0 >= h1 or w0 >= w1:
+                        continue
+                    pv = _patch_pixel(P, pi, pj, dilation, fh, fw, is_int,
+                                      masks=pixel_masks(pi, pj))
+                    # sum over K while still K-major -> [B,HD,C,T,nH,nW]
+                    val = jnp.sum(pv * w_km[:, :, None], axis=3)
+                    out_c = out_c.at[:, :, :, :, sh, sw].add(
+                        val[..., h0:h1, w0:w1])
+        return out_c
+
+    outs = lax.map(jax.checkpoint(chunk_fn), vp_scan)
+    out = jnp.transpose(outs, (1, 2, 4, 0, 3, 5, 6)) \
+        .reshape(B, HD, T, F, outH, outW)
 
     counts = jnp.asarray(
         patch_overlap_counts(outH, outW, ps, strideOut, dilation, use_adj),

@@ -29,85 +29,15 @@ itype == "float", pt == 1, reflect_bounds == True, and stride1 integral or
 1/stride1 integral (uniform sample step).
 """
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from stnls_tpu.ops.geometry import (
     reflect_bounds, in_bounds, num_queries, time_window_frames, search_offsets,
 )
 from stnls_tpu.ops.nls import dist_type_select, _expand_flow_heads
-
-
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _patch_gather(v1_c, idx3, dims):
-    """Gather the S x S integer support patch of every (query, time-slot).
-
-    v1_c [B,HD,C,M] flat padded frames; idx3 = (tj, oi, oj) int32 arrays
-    [B,HD,T,W_t,nH,nW] (top-left corner in padded coords); dims =
-    (S, Tp, Hp, Wp) static. Returns P [B,HD,C,S,S,T,W_t,nH,nW].
-
-    The VJP replaces the take_along_axis transpose (a 30M-scalar-index
-    scatter XLA serializes: ~210 ms/chunk on v5e) with ONE windowed
-    lax.scatter_add over S x S x C patches (~0.06 ms measured): the TPU
-    answer to the reference's atomicAdd backward
-    (nls_bilin2d.cu:171-180) — and deterministic, unlike atomics.
-    """
-    return _patch_gather_impl(v1_c, idx3, dims)
-
-
-def _patch_gather_impl(v1_c, idx3, dims):
-    S, Tp, Hp, Wp = dims
-    tj, oi, oj = idx3
-    B, HD, C, M = v1_c.shape
-    base = (tj * Hp + oi) * Wp + oj  # [B,HD,T,W_t,nH,nW]
-    u_off = (jnp.arange(S, dtype=jnp.int32) * Wp)[:, None] \
-        + jnp.arange(S, dtype=jnp.int32)[None, :]
-    idx = base[None, None] + u_off[:, :, None, None, None, None, None, None]
-    idxf = jnp.moveaxis(idx, (2, 3), (0, 1)).reshape(B, HD, 1, -1)
-    P = jnp.take_along_axis(v1_c, idxf, axis=3)
-    return P.reshape((B, HD, C, S, S) + tj.shape[2:])
-
-
-def _patch_gather_fwd(v1_c, idx3, dims):
-    return _patch_gather_impl(v1_c, idx3, dims), (idx3, v1_c.shape)
-
-
-def _patch_gather_bwd(dims, res, g):
-    S, Tp, Hp, Wp = dims
-    (tj, oi, oj), (B, HD, C, M) = res
-    Tq, W_t, nH, nW = tj.shape[2:]
-    Nq = Tq * W_t * nH * nW
-    N = B * HD * Nq
-    # updates [N, S, S, C] — the one layout the TPU scatter fast-path
-    # accepts (window dims trailing the index dim; see probe_scatter*.py)
-    upd = jnp.transpose(g, (0, 1, 5, 6, 7, 8, 3, 4, 2)).reshape(N, S, S, C)
-    bh = jnp.broadcast_to(
-        jnp.arange(B * HD, dtype=jnp.int32)[:, None], (B * HD, Nq)) \
-        .reshape(N)
-    idx4 = jnp.stack([
-        bh,
-        jnp.broadcast_to(tj, (B, HD, Tq, W_t, nH, nW)).reshape(N),
-        jnp.broadcast_to(oi, (B, HD, Tq, W_t, nH, nW)).reshape(N),
-        jnp.broadcast_to(oj, (B, HD, Tq, W_t, nH, nW)).reshape(N),
-    ], axis=1)
-    op = jnp.zeros((B * HD, Tp, Hp, Wp, C), g.dtype)
-    dn = lax.ScatterDimensionNumbers(
-        update_window_dims=(1, 2, 3),
-        inserted_window_dims=(0, 1),
-        scatter_dims_to_operand_dims=(0, 1, 2, 3))
-    out = lax.scatter_add(op, idx4, upd, dn)
-    g_v1 = jnp.transpose(out.reshape(B, HD, Tp, Hp, Wp, C),
-                         (0, 1, 5, 2, 3, 4)).reshape(B, HD, C, M)
-    zeros_i = jax.tree.map(
-        lambda x: np.zeros(x.shape, jax.dtypes.float0), (tj, oi, oj))
-    return g_v1, zeros_i
-
-
-_patch_gather.defvjp(_patch_gather_fwd, _patch_gather_bwd)
+from stnls_tpu.ops.pgather import patch_gather as _patch_gather
 
 
 def warp_path_supported(*, itype, pt, stride1, dilation,
@@ -215,10 +145,16 @@ def nls_warp_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
     wv = jnp.maximum(0., 1. - jnp.abs(cH - fw[None, None]))
 
     # -- padded videos --
-    v1p = jnp.pad(vid1, ((0, 0),) * 4 + ((pad, pad), (pad, pad)),
+    # transpose BEFORE pad, then reshape only: when vid1 is a matmul
+    # output, padding first lets the dot's layout propagate into the big
+    # padded buffer ({5,4,2,1,3,0} instead of row-major) and the patch
+    # gather pipeline degrades ~3000x (measured; see HLO layout diff in
+    # round-2 notes). Transposing the small unpadded video first keeps the
+    # padded buffer row-major.
+    v1t = jnp.transpose(vid1, (0, 1, 3, 2, 4, 5))  # [B,HD,F,T,H,W]
+    v1p = jnp.pad(v1t, ((0, 0),) * 4 + ((pad, pad), (pad, pad)),
                   mode="reflect")
-    v1p_cf = v1p.reshape(B, HD, T, F, kHp * kWp).transpose(0, 1, 3, 2, 4) \
-        .reshape(B, HD, F, T * kHp * kWp)
+    v1p_cf = v1p.reshape(B, HD, F, T * kHp * kWp)
     pad0 = dilation * (ps - 1) + 1 + max(abs(off_Hq), abs(off_Wq))
     v0p = jnp.pad(vid0, ((0, 0),) * 4 + ((pad0, pad0), (pad0, pad0)),
                   mode="reflect")
