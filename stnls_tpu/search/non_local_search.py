@@ -130,13 +130,43 @@ def _use_warp_path(cfg, vid_shape):
     return ok
 
 
+def _use_cv_path(cfg, vid_shape):
+    from stnls_tpu.ops.nls_cv import cv_supported
+    impl = cfg.get("impl", "auto")
+    if impl != "cv":
+        # opt-in only until the exact outlier patch-up lands: entries whose
+        # flow exceeds flow_budget are invalidated rather than searched
+        return False
+    H, W = vid_shape[-2:]
+    ok = (cv_supported(itype=cfg["itype"], pt=cfg["pt"],
+                       stride1=cfg["stride1"],
+                       reflect_bounds=cfg["reflect_bounds"], ws=cfg["ws"],
+                       ps=cfg["ps"], dilation=cfg["dilation"],
+                       flow_budget=cfg.get("flow_budget", 8), H=H, W=W)
+          and cfg["strideQ"] in (None, cfg["stride0"])
+          and cfg["ws_interior"] <= 0
+          and cfg["off_Hq"] == 0 and cfg["off_Wq"] == 0)
+    assert ok, "cv impl unsupported for this config"
+    return ok
+
+
 def nls_pipeline(vid0, vid1, flows, cfg):
     """Full forward: search volume -> self_action -> top-K.
 
-    Two equivalent volume implementations: the general lattice engine and
-    the warp-decomposition fast path (ops/nls_warp.py, auto-selected when
-    the config allows; cfg["impl"] in {"auto","warp","lattice"} forces)."""
-    if _use_warp_path(cfg, vid0.shape):
+    Three equivalent volume implementations: the general lattice engine,
+    the warp-decomposition fast path (ops/nls_warp.py), and the dense
+    correlation-volume path (ops/nls_cv.py; opt-in impl="cv");
+    cfg["impl"] in {"auto","warp","lattice","cv"} forces."""
+    if _use_cv_path(cfg, vid0.shape):
+        from stnls_tpu.ops.nls_cv import nls_cv_volume
+        dists, inds3, _ = nls_cv_volume(
+            vid0, vid1, flows, ws=cfg["ws"], wt=cfg["wt"], ps=cfg["ps"],
+            stride0=cfg["stride0"], stride1=cfg["stride1"],
+            dist_type=cfg["dist_type"], dilation=cfg["dilation"],
+            full_ws=cfg["full_ws"], use_adj=cfg["use_adj"],
+            itype=cfg["itype"],
+            flow_budget=cfg.get("flow_budget", 8))
+    elif _use_warp_path(cfg, vid0.shape):
         from stnls_tpu.ops.nls_warp import nls_warp_volume
         dists, inds3 = nls_warp_volume(
             vid0, vid1, flows, ws=cfg["ws"], wt=cfg["wt"], ps=cfg["ps"],
@@ -212,7 +242,7 @@ class NonLocalSearch:
                  topk_mode="all", ws_interior=0, reflect_bounds=True,
                  full_ws=True, use_adj=False, normalize_bwd=False, k_agg=-1,
                  off_Hq=0, off_Wq=0, strideQ=None, itype="float",
-                 impl="auto"):
+                 impl="auto", flow_budget=8):
         self.cfg = dict(
             ws=ws, wt=wt, ps=ps, k=k, nheads=nheads, stride0=stride0,
             stride1=stride1, dist_type=dist_type, dilation=dilation, pt=pt,
@@ -220,7 +250,7 @@ class NonLocalSearch:
             ws_interior=ws_interior, reflect_bounds=reflect_bounds,
             full_ws=full_ws, use_adj=use_adj, normalize_bwd=normalize_bwd,
             k_agg=k_agg, off_Hq=off_Hq, off_Wq=off_Wq, strideQ=strideQ,
-            itype=itype)
+            itype=itype, impl=impl, flow_budget=flow_budget)
         for key, val in self.cfg.items():
             setattr(self, key, val)
         self._fn = _make_grad_policy_fn(self.cfg)
@@ -280,7 +310,8 @@ def extract_config(cfg, restrict=True):
              "ws_interior": 0, "reflect_bounds": True, "full_ws": True,
              "self_action": None, "use_adj": False,
              "normalize_bwd": False, "k_agg": -1, "topk_mode": "all",
-             "off_Hq": 0, "off_Wq": 0, "strideQ": None, "itype": "float", "impl": "auto"}
+             "off_Hq": 0, "off_Wq": 0, "strideQ": None, "itype": "float",
+             "impl": "auto", "flow_budget": 8}
     return extract_pairs(cfg, pairs, restrict=restrict)
 
 
