@@ -22,9 +22,13 @@ vid = jnp.asarray(rng.standard_normal((B, T, F, H, W)), jnp.float32)
 fflow = jnp.asarray(rng.standard_normal((B, T, 2, H, W)), jnp.float32)
 bflow = jnp.asarray(rng.standard_normal((B, T, 2, H, W)), jnp.float32)
 
+tile = None
+if len(sys.argv) > 3 and sys.argv[3] == "tiled":
+    tile = (16, 128)
 search = stnls_tpu.search.NonLocalSearch(
     ws, wt, ps, K, nheads=HD, stride0=1, stride1=0.5,
-    self_action="anchor", itype="float", impl="cv", flow_budget=budget)
+    self_action="anchor", itype="float", impl="cv", flow_budget=budget,
+    cv_tile=tile, spread_budget=4)
 
 
 def fwd(v, ff, bf, s):

@@ -69,7 +69,7 @@ def cv_geometry(*, ws, ps, stride1, dilation, flow_budget):
     ZMAX = -(-(m * flow_budget + wspan + 2) // m)
     EXTm = m * ZMAX
     Dk = m * (2 * ZMAX + 1)
-    pad1 = ZMAX + dilation * (ps - 1) + 2
+    pad1 = ZMAX + dilation * (ps - 1) + 3
     return m, su, wspan, Sp, ZMAX, EXTm, Dk, pad1
 
 
@@ -106,10 +106,18 @@ def _select_window(vol, k0, lo, Sp):
 
 def nls_cv_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
                   dist_type="l2", dilation=1, full_ws=True, use_adj=False,
-                  itype="float", flow_budget=8):
+                  itype="float", flow_budget=8, tile_q=None,
+                  spread_budget=4):
     """Returns (dists [B,HD,T,W_t,ws,ws,nH,nW], inds3 [3,...],
     outliers [B,HD,T,W_t,nH,nW] bool). Outlier entries carry init-valued
-    dists; callers must patch them up for exactness beyond flow_budget."""
+    dists; callers must patch them up for exactness beyond flow_budget.
+
+    tile_q=(TH, TW): rebase each TH x TW query tile to its own minimum
+    integer shift so the kappa domain shrinks from the global flow range
+    to the tile-local spread (`spread_budget` pixels) — the construction
+    and selection costs are O(domain^2), so this is ~10x on smooth flows.
+    Tiles whose local spread exceeds the budget flag their spilling
+    queries as outliers (exact like the global budget)."""
     B, HD, T, F, H, W = vid0.shape
     kH, kW = vid1.shape[-2:]
     assert (H, W) == (kH, kW), "cv path assumes matching frame sizes"
@@ -292,6 +300,63 @@ def nls_cv_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
     r1 = pad1 - t0s
     zs = list(range(-ZMAX, ZMAX + 1))
     _, _, init_val = dist_type_select(dist_type)
+    P = T * W_t
+
+    # ---- optional query tiling: rebase each tile to its min shift ----
+    use_tiles = False
+    if tile_q is not None:
+        TH, TW = tile_q
+        TH = TH or nH
+        TW = TW or nW
+        use_tiles = (nH % TH == 0) and (nW % TW == 0) \
+            and (TH, TW) != (nH, nW)
+    if use_tiles:
+        nTh, nTw = nH // TH, nW // TW
+        ntiles = nTh * nTw
+        ZL = spread_budget + -(-(Sp + 1) // m)
+        Dloc = m * ZL
+        TPH = (TH - 1) * stride0 + 1   # tile pixel extent
+        TPW = (TW - 1) * stride0 + 1
+        TPHx, TPWx = TPH + Eh, TPW + Eh
+        HL = TPHx + ZL
+        WL = TPWx + ZL
+        KHI_t = KHI - Dloc + 1
+
+        def tileify(x_p):
+            """[P,BH,nH,nW] -> [P,BH,ntiles,TH,TW]."""
+            x = x_p.reshape(P, BH, nTh, TH, nTw, TW)
+            return jnp.transpose(x, (0, 1, 2, 4, 3, 5)) \
+                .reshape(P, BH, ntiles, TH, TW)
+
+        k0h_t = tileify(k0h_p)
+        k0w_t = tileify(k0w_p)
+        m_th = jnp.clip(jnp.min(k0h_t, axis=(3, 4)), KLO, KHI_t)
+        m_tw = jnp.clip(jnp.min(k0w_t, axis=(3, 4)), KLO, KHI_t)
+        l0h = k0h_t - m_th[..., None, None]
+        l0w = k0w_t - m_tw[..., None, None]
+        spill = (l0h > Dloc - Sp) | (l0w > Dloc - Sp) | (l0h < 0) | (l0w < 0)
+        l0h = jnp.clip(l0h, 0, Dloc - Sp)
+        l0w = jnp.clip(l0w, 0, Dloc - Sp)
+
+        def untileify_mask(s_t):
+            s = s_t.reshape(P, BH, nTh, nTw, TH, TW)
+            s = jnp.transpose(s, (0, 1, 2, 4, 3, 5)).reshape(P, BH, nH, nW)
+            return s
+
+        spill_p = untileify_mask(spill)  # [P,BH,nH,nW]
+        spill_full = jnp.moveaxis(
+            spill_p.reshape(T, W_t, B, HD, nH, nW), (2, 3), (0, 1)) \
+            .reshape(B, HD, T, W_t, nH, nW)
+        outliers = outliers | spill_full
+        th_t = tileify(th_p)
+        tw_t = tileify(tw_p)
+        # static per-tile pixel origins
+        ty0 = np.repeat(np.arange(nTh), nTw) * TH * stride0  # [ntiles]
+        tx0 = np.tile(np.arange(nTw), nTh) * TW * stride0
+        if dist_is_l2:
+            ps0_t = jnp.transpose(
+                ps0.reshape(BH, T, nTh, TH, nTw, TW), (0, 1, 2, 4, 3, 5)) \
+                .reshape(BH, T, ntiles, TH, TW)
 
     def pair_body(p_idx):
         t_i, tj_i, _ = pairs_j[p_idx, 0], pairs_j[p_idx, 1], pairs_j[p_idx, 2]
@@ -403,7 +468,177 @@ def nls_cv_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
         d = jnp.stack(dists, 0).reshape(ws, ws, BH, nH, nW)
         return jnp.moveaxis(d, 2, 0)  # [BH, ws, ws, nH, nW]
 
-    body = jax.checkpoint(pair_body)
+    def pair_body_tiled(p_idx):
+        t_i, tj_i = pairs_j[p_idx, 0], pairs_j[p_idx, 1]
+        v0f = lax.dynamic_index_in_dim(v0e, t_i, axis=1, keepdims=False)
+        upf = lax.dynamic_index_in_dim(UP_stack, tj_i, axis=3,
+                                       keepdims=False)
+        m_th_i = m_th[p_idx]      # [BH, ntiles]
+        m_tw_i = m_tw[p_idx]
+        l0h_i = l0h[p_idx]        # [BH, ntiles, TH, TW]
+        l0w_i = l0w[p_idx]
+        th_i = th_t[p_idx]
+        tw_i = tw_t[p_idx]
+        if dist_is_l2:
+            psx_f = {e: lax.dynamic_index_in_dim(PSX_stack[e], tj_i, axis=3,
+                                                 keepdims=False)
+                     for e in X_E}
+            ps0_i = lax.dynamic_index_in_dim(ps0_t, t_i, axis=1,
+                                             keepdims=False)
+        nfam = 1 + (len(X_E) if dist_is_l2 else 0)
+
+        # -- per-(bh, tile, local-phase) dynamic windows of the surface --
+        pt_h = m_th_i % m                       # [BH, ntiles], in [0,m)
+        zt_h = (m_th_i - pt_h) // m
+        pt_w = m_tw_i % m
+        zt_w = (m_tw_i - pt_w) // m
+        qr = jnp.arange(m, dtype=jnp.int32)
+        phh = pt_h[:, :, None] + qr             # [BH, ntiles, m]
+        pww = pt_w[:, :, None] + qr
+        ph_mod, ch_car = phh % m, phh // m
+        pw_mod, cw_car = pww % m, pww // m
+        ty0j = jnp.asarray(ty0, jnp.int32)
+        tx0j = jnp.asarray(tx0, jnp.int32)
+        row0 = r1 + zt_h[:, :, None] + ch_car + ty0j[None, :, None]
+        col0 = r1 + zt_w[:, :, None] + cw_car + tx0j[None, :, None]
+        shp4 = (BH, ntiles, m, m)
+        PH = jnp.broadcast_to(ph_mod[:, :, :, None], shp4).reshape(-1)
+        PW = jnp.broadcast_to(pw_mod[:, :, None, :], shp4).reshape(-1)
+        R0 = jnp.broadcast_to(row0[:, :, :, None], shp4).reshape(-1)
+        C0 = jnp.broadcast_to(col0[:, :, None, :], shp4).reshape(-1)
+        BHI = jnp.broadcast_to(
+            jnp.arange(BH, dtype=jnp.int32)[:, None, None, None],
+            shp4).reshape(-1)
+
+        def slice_up(ph_i, pw_i, bh_i, r0, c0):
+            sl = lax.dynamic_slice(upf, (ph_i, pw_i, bh_i, 0, r0, c0),
+                                   (1, 1, 1, F, HL, WL))
+            return sl[0, 0, 0]
+
+        UPloc = jax.vmap(slice_up)(PH, PW, BHI, R0, C0) \
+            .reshape(BH, ntiles, m, m, F, HL, WL)
+
+        v0t = jnp.stack(
+            [v0f[..., ty0[ti]:ty0[ti] + TPHx, tx0[ti]:tx0[ti] + TPWx]
+             for ti in range(ntiles)], 1)       # [BH, ntiles, F, TPHx, TPWx]
+
+        if dist_is_l2:
+            rx = pad1 - 1 - t0s
+            rowx0 = rx + zt_h[:, :, None] + ch_car + ty0j[None, :, None]
+            colx0 = rx + zt_w[:, :, None] + cw_car + tx0j[None, :, None]
+            RX = jnp.broadcast_to(rowx0[:, :, :, None], shp4).reshape(-1)
+            CX = jnp.broadcast_to(colx0[:, :, None, :], shp4).reshape(-1)
+            HLX = TPH + ZL - 1
+            WLX = TPW + ZL - 1
+            XLOC = {}
+            for e in X_E:
+                img = psx_f[e]   # [m, m, BH, Lh, Lw]
+
+                def slice_x(ph_i, pw_i, bh_i, r0, c0, img=img):
+                    sl = lax.dynamic_slice(img, (ph_i, pw_i, bh_i, r0, c0),
+                                           (1, 1, 1, HLX, WLX))
+                    return sl[0, 0, 0]
+
+                XLOC[e] = jax.vmap(slice_x)(PH, PW, BHI, RX, CX) \
+                    .reshape(BH, ntiles, m, m, HLX, WLX)
+
+        def tapsum_tile(img):
+            acc = 0.
+            for a in taps:
+                ia = a + t0s
+                ya = img[..., ia:ia + (TH - 1) * stride0 + 1:stride0, :]
+                for b in taps:
+                    ib = b + t0s
+                    acc = acc + ya[..., ib:ib + (TW - 1) * stride0 + 1:
+                                   stride0]
+            return acc
+
+        def zh_body(_, zl):
+            rows = []
+            for qh in range(m):
+                fam_rows = []
+                cc_pw = []
+                for qw in range(m):
+                    ul = UPloc[:, :, qh, qw]    # [BH,ntiles,F,HL,WL]
+                    usl = lax.dynamic_slice_in_dim(ul, zl, TPHx, axis=3)
+                    terms = []
+                    for zw in range(ZL):
+                        vsl = usl[..., zw:zw + TPWx]
+                        terms.append(jnp.sum(v0t * vsl, axis=2))
+                    cc_pw.append(jnp.stack(terms, 0))
+                cc = jnp.stack(cc_pw, 1)        # [ZL,m,BH,ntiles,TPHx,TPWx]
+                cc = cc.reshape((Dloc,) + cc.shape[2:])
+                fam_rows.append(tapsum_tile(cc))  # [Dloc,BH,ntiles,TH,TW]
+                if dist_is_l2:
+                    for e in X_E:
+                        x_pw = []
+                        for qw in range(m):
+                            xim = XLOC[e][:, :, qh, qw]  # [BH,ntiles,HLX,WLX]
+                            ysl = lax.dynamic_slice_in_dim(
+                                xim, zl, (TH - 1) * stride0 + 1, axis=2)
+                            ysl = ysl[..., ::stride0, :]
+                            terms = []
+                            for zw in range(ZL):
+                                xsl = ysl[..., zw:zw
+                                          + (TW - 1) * stride0 + 1]
+                                terms.append(xsl[..., ::stride0])
+                            x_pw.append(jnp.stack(terms, 0))
+                        xr = jnp.stack(x_pw, 1)
+                        fam_rows.append(xr.reshape((Dloc,) + xr.shape[2:]))
+                rows.append(jnp.stack(fam_rows, 0))
+            return None, jnp.stack(rows, 0)  # [m,nfam,Dloc,BH,ntiles,TH,TW]
+
+        _, volrows = lax.scan(zh_body, None,
+                              jnp.arange(ZL, dtype=jnp.int32))
+        vol = volrows.reshape((Dloc,) + volrows.shape[2:])
+
+        colv = _select_window(vol, l0h_i[None, None], 0, Sp)
+        colv = jnp.moveaxis(colv, 2, 0)
+        val = _select_window(colv, l0w_i[None, None], 0, Sp)
+        val = jnp.moveaxis(val, 0, 1)  # [Sp_h, Sp_w, nfam, BH, ntiles, TH, TW]
+
+        whc = (1. - th_i, th_i)
+        wvc = (1. - tw_i, tw_i)
+        ncr = 1 if is_int else 2
+        cc_win = val[:, :, 0]
+        dists = []
+        for i in range(ws):
+            for j in range(ws):
+                oh, ow = su * i, su * j
+                acc = 0.
+                if dist_is_l2:
+                    acc = acc + ps0_i
+                for ch in range(ncr):
+                    for cw in range(ncr):
+                        wgt = whc[ch] * wvc[cw]
+                        cc_v = cc_win[oh + ch, ow + cw]
+                        if dist_is_l2:
+                            acc = acc - 2. * wgt * cc_v
+                        else:
+                            acc = acc + wgt * cc_v
+                if dist_is_l2:
+                    for ch in range(ncr):
+                        for cw in range(ncr):
+                            for ch2 in range(ncr):
+                                for cw2 in range(ncr):
+                                    e = (ch2 - ch, cw2 - cw)
+                                    c_use = (ch, cw)
+                                    if e[0] < 0 or (e[0] == 0 and e[1] < 0):
+                                        e = (-e[0], -e[1])
+                                        c_use = (ch2, cw2)
+                                    fam = 1 + X_E.index(e)
+                                    wgt = (whc[ch] * wvc[cw]
+                                           * whc[ch2] * wvc[cw2])
+                                    acc = acc + wgt * val[
+                                        oh + c_use[0], ow + c_use[1], fam]
+                dists.append(acc)
+        d = jnp.stack(dists, 0).reshape(ws, ws, BH, ntiles, TH, TW)
+        d = d.reshape(ws, ws, BH, nTh, nTw, TH, TW)
+        d = jnp.transpose(d, (2, 0, 1, 3, 5, 4, 6)) \
+            .reshape(BH, ws, ws, nH, nW)
+        return d
+
+    body = jax.checkpoint(pair_body_tiled if use_tiles else pair_body)
     d_pairs = lax.map(body, jnp.arange(T * W_t, dtype=jnp.int32))
     # [T*W_t, BH, ws, ws, nH, nW] -> [B,HD,T,W_t,ws,ws,nH,nW]
     d = d_pairs.reshape(T, W_t, B, HD, ws, ws, nH, nW)

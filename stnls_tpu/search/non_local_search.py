@@ -165,7 +165,9 @@ def nls_pipeline(vid0, vid1, flows, cfg):
             dist_type=cfg["dist_type"], dilation=cfg["dilation"],
             full_ws=cfg["full_ws"], use_adj=cfg["use_adj"],
             itype=cfg["itype"],
-            flow_budget=cfg.get("flow_budget", 8))
+            flow_budget=cfg.get("flow_budget", 8),
+            tile_q=cfg.get("cv_tile", None),
+            spread_budget=cfg.get("spread_budget", 4))
     elif _use_warp_path(cfg, vid0.shape):
         from stnls_tpu.ops.nls_warp import nls_warp_volume
         dists, inds3 = nls_warp_volume(
@@ -242,7 +244,8 @@ class NonLocalSearch:
                  topk_mode="all", ws_interior=0, reflect_bounds=True,
                  full_ws=True, use_adj=False, normalize_bwd=False, k_agg=-1,
                  off_Hq=0, off_Wq=0, strideQ=None, itype="float",
-                 impl="auto", flow_budget=8):
+                 impl="auto", flow_budget=8, cv_tile=None,
+                 spread_budget=4):
         self.cfg = dict(
             ws=ws, wt=wt, ps=ps, k=k, nheads=nheads, stride0=stride0,
             stride1=stride1, dist_type=dist_type, dilation=dilation, pt=pt,
@@ -250,7 +253,8 @@ class NonLocalSearch:
             ws_interior=ws_interior, reflect_bounds=reflect_bounds,
             full_ws=full_ws, use_adj=use_adj, normalize_bwd=normalize_bwd,
             k_agg=k_agg, off_Hq=off_Hq, off_Wq=off_Wq, strideQ=strideQ,
-            itype=itype, impl=impl, flow_budget=flow_budget)
+            itype=itype, impl=impl, flow_budget=flow_budget,
+            cv_tile=cv_tile, spread_budget=spread_budget)
         for key, val in self.cfg.items():
             setattr(self, key, val)
         self._fn = _make_grad_policy_fn(self.cfg)

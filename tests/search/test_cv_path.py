@@ -108,3 +108,70 @@ def test_cv_flags_outliers():
                                      d.shape))
     assert np.all(~np.isfinite(dn[om]) | (dn[om] > 1e30) | True)
     assert np.all(dn[om] == np.inf)
+
+
+@pytest.mark.parametrize("cfg", [CONFIGS[1], CONFIGS[3], CONFIGS[4],
+                                 CONFIGS[7]])
+def test_cv_tiled_matches_lattice(cfg):
+    cfg = dict(cfg)
+    vid0, vid1, flows = make_data(wt=cfg["wt"], stride0=cfg["stride0"],
+                                  H=24, W=24, fmax=3.0)
+    d_ref, i_ref = nls_search_volume(vid0, vid1, flows, **cfg)
+    d_cv, i_cv, outl = nls_cv_volume(
+        vid0, vid1, flows, flow_budget=4, tile_q=(8, 12),
+        spread_budget=8, **cfg)
+    assert not bool(jnp.any(outl)), "flows must stay inside both budgets"
+    dr = np.asarray(d_ref)
+    dc = np.asarray(d_cv)
+    np.testing.assert_array_equal(np.isfinite(dr), np.isfinite(dc))
+    mfin = np.isfinite(dr)
+    np.testing.assert_allclose(dc[mfin], dr[mfin], rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(i_cv), np.asarray(i_ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_cv_tiled_spill_flags():
+    cfg = dict(ws=3, wt=1, ps=3, stride0=1, stride1=1, dist_type="l2",
+               itype="float")
+    # smooth base flow + a few large local deviations -> tile spill
+    vid0, vid1, flows = make_data(wt=1, H=24, W=24, fmax=0.5)
+    f = np.array(flows)
+    f[..., 5:7, 5:7] += 6.0  # local spike beyond spread_budget
+    d, i3, outl = nls_cv_volume(
+        vid0, vid1, jnp.asarray(f), flow_budget=8, tile_q=(8, 12),
+        spread_budget=3, **cfg)
+    assert bool(jnp.any(outl))
+    dn = np.asarray(d)
+    om = np.asarray(jnp.broadcast_to(outl[:, :, :, :, None, None], d.shape))
+    assert np.all(dn[om] == np.inf)
+    # non-outlier entries still match the lattice path
+    d_ref, _ = nls_search_volume(vid0, vid1, jnp.asarray(f), **cfg)
+    dr = np.asarray(d_ref)
+    keep = ~om & np.isfinite(dr)
+    np.testing.assert_allclose(dn[keep], dr[keep], rtol=3e-4, atol=3e-4)
+
+
+def test_cv_tiled_gradients_match():
+    cfg = dict(ws=3, wt=1, ps=3, stride0=1, stride1=0.5, dist_type="l2",
+               itype="float")
+    vid0, vid1, flows = make_data(wt=1, F=3, H=24, W=24)
+
+    def loss(fn, extra):
+        def f(v0, v1, fl):
+            out = fn(v0, v1, fl, **cfg, **extra)
+            d = out[0]
+            return (jnp.sum(jnp.where(jnp.isfinite(d), d, 0.) ** 2) * 1e-3
+                    + 1e-4 * jnp.sum(out[1][1:] ** 2))
+        return f
+
+    g_cv = jax.grad(loss(nls_cv_volume,
+                         {"flow_budget": 4, "tile_q": (8, 12),
+                          "spread_budget": 8}), (0, 1, 2))(
+        vid0, vid1, flows)
+    g_ref = jax.grad(loss(nls_search_volume, {}), (0, 1, 2))(
+        vid0, vid1, flows)
+    for name, a, b in zip(["vid0", "vid1", "flows"], g_cv, g_ref):
+        a, b = np.asarray(a), np.asarray(b)
+        ref = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a, b, rtol=0, atol=5e-4 * ref,
+                                   err_msg=name)
