@@ -1,0 +1,644 @@
+"""Fused Pallas TPU kernel for the non-local search volume.
+
+This is the speed-of-light path promised by the blueprint (SURVEY §7): one
+fused kernel per (batch·head, frame-pair, query-row-block) that
+
+  1. DMAs a *flow-rebased* full-width row window of the reflect-padded key
+     video from HBM into VMEM (the row origin is a per-tile prefetched
+     scalar; rows live on an untiled axis so Mosaic allows the dynamic
+     offset — columns use a static global domain instead, since dynamic
+     offsets on the (sublane, lane) tiled dims are not lowerable),
+  2. builds the subpixel phase images of the piecewise-bilinear surface in
+     VMEM via separable hat-weight interpolation with static slices
+     (stride1 = su/m is exact: the surface has no kink strictly inside a
+     1/m cell),
+  3. accumulates dense shifted products — the cross-correlation family CC
+     and, for L2, the surface self-product families X_e — with ps x ps
+     tap-sums, entirely on the VPU with ZERO gather/scatter ops,
+  4. selects each query's Sp x Sp candidate window by one-hot compares
+     against its lattice anchor (dense compare+FMA, no gather),
+  5. assembles bilinear-corner distances and writes the [ws,ws] volume.
+
+Semantics match ops.nls.nls_search_volume (and the reference CUDA kernels
+lib/csrc/search/non_local_search_bilin2d_kernel.cu, nls_int.cu,
+shared_kernel.cu:248-287) for: itype in {float,int}, dist in {l2,prod},
+uniform stride1 (su/m), pt=1, reflect_bounds=True, off_Hq=off_Wq=0,
+strideQ=stride0. Out-of-budget flows are flagged `outliers` and carry
+init-valued dists (see ops.nls_cv for the budget discussion).
+
+The backward is a second Pallas kernel registered via jax.custom_vjp
+(ops/nls_pallas_bwd.py): it recomputes the forward's windows
+(checkpoint-style) and emits grads to vid0, vid1 (via deterministic
+shifted adds — the TPU replacement for the reference's atomicAdd,
+nls_bilin2d.cu:171-180) and to the bilinear corner weights th/tw, which
+autodiff outside chains to the flows (reflection sign flips included,
+matching shared_kernel.cu:918-965).
+
+Cross-validated against ops.nls.nls_search_volume in
+tests/search/test_pallas_path.py.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stnls_tpu.ops.geometry import (
+    reflect_bounds, num_queries, time_window_frames, search_offsets,
+)
+from stnls_tpu.ops.nls import dist_type_select, _expand_flow_heads
+from stnls_tpu.ops.nls_cv import cv_step
+
+# L2 self-product offsets e (up-grid), canonical half-space
+X_E = [(0, 0), (0, 1), (1, 0), (1, 1), (1, -1)]
+
+
+def _largest_divisor_leq(n, cap):
+    for d in range(min(cap, n), 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
+def pallas_geometry(*, ws, ps, stride1, dilation, flow_budget,
+                    spread_budget, use_adj):
+    """Static geometry shared by fwd and bwd kernels.
+
+    Rows: per-tile rebasing, local window of ZL pixel shifts
+    (Dloc = m*ZL up-grid shifts); tiles whose k0 spread exceeds it spill
+    to `outliers`. Columns: global domain of ZLc = 2*ZMAXc+1 pixel shifts
+    around the query column (budget-bounded, no rebasing — Mosaic cannot
+    dynamically offset the lane dim).
+    """
+    m, su = cv_step(stride1)
+    wspan = su * (ws - 1)
+    Sp = wspan + 2
+    ZMAXc = -(-(m * flow_budget + wspan + 2) // m)
+    ZL = spread_budget + -(-(Sp + 1) // m)
+    ZMAX = max(ZMAXc, ZL)       # row domain must fit the rebase window
+    ZLc = 2 * ZMAXc + 1
+    Dloc = m * ZL
+    Dkc = m * ZLc
+    patch_offset = 0 if use_adj else -(ps // 2)
+    taps = [dilation * (p + patch_offset) for p in range(ps)]
+    t0s = -min(taps)
+    Eh = dilation * (ps - 1)
+    pad0 = Eh + 1
+    pad1 = ZMAX + Eh + max(ZL, ZLc) + 5
+    return dict(m=m, su=su, wspan=wspan, Sp=Sp, ZMAX=ZMAX, ZMAXc=ZMAXc,
+                ZL=ZL, ZLc=ZLc, Dloc=Dloc, Dkc=Dkc, taps=taps, t0s=t0s,
+                Eh=Eh, pad0=pad0, pad1=pad1)
+
+
+def pallas_supported(*, itype, pt, stride1, reflect_bounds, ws, ps,
+                     dilation, off_Hq, off_Wq, H, W, stride0, strideQ):
+    if pt != 1 or not reflect_bounds or off_Hq != 0 or off_Wq != 0:
+        return False
+    if strideQ not in (None, stride0):
+        return False
+    if itype == "int":
+        stride1 = max(1, int(stride1))
+    if cv_step(stride1) is None:
+        return False
+    nH, nW = num_queries(H, W, stride0)
+    if _largest_divisor_leq(nH, 16) == 1 and nH > 16:
+        return False
+    return min(H, W) >= 2 * dilation * (ps - 1) + 2
+
+
+def _hat(x):
+    """Static hat weight max(0, 1 - |x|) for python-float x."""
+    return max(0.0, 1.0 - abs(x))
+
+
+def _hat_weights_scalar(u, m, ks):
+    """Traced hat weights w_k = max(0, 1 - |u/m - (k-1)|); u traced int."""
+    uf = u.astype(jnp.float32) / float(m)
+    return [jnp.maximum(0., 1. - jnp.abs(uf - float(k - 1))) for k in ks]
+
+
+def _tapsum_to_queries(img, *, taps, t0s, TH, TW, stride0):
+    """Patch tap-sum + query subsample: img [.., TPHx, TPWx] pixel field
+    (index a + t0s holds pixel offset a) -> [.., TH, TW]."""
+    acc = None
+    for a in taps:
+        ia = a + t0s
+        ya = img[..., ia:ia + (TH - 1) * stride0 + 1:stride0, :]
+        for b in taps:
+            ib = b + t0s
+            v = ya[..., ib:ib + (TW - 1) * stride0 + 1:stride0]
+            acc = v if acc is None else acc + v
+    return acc
+
+
+def _fam_index(e):
+    return 1 + X_E.index(e)
+
+
+def _corner_terms(is_int, dist_is_l2):
+    """Static assembly term lists."""
+    ncr = 1 if is_int else 2
+    cc_terms = [(ch, cw) for ch in range(ncr) for cw in range(ncr)]
+    x_terms = []
+    if dist_is_l2:
+        for ch in range(ncr):
+            for cw in range(ncr):
+                for ch2 in range(ncr):
+                    for cw2 in range(ncr):
+                        e = (ch2 - ch, cw2 - cw)
+                        c_use = (ch, cw)
+                        if e[0] < 0 or (e[0] == 0 and e[1] < 0):
+                            e = (-e[0], -e[1])
+                            c_use = (ch2, cw2)
+                        x_terms.append((ch, cw, ch2, cw2, c_use,
+                                        _fam_index(e)))
+    return ncr, cc_terms, x_terms
+
+
+def kernel_dims(cfg):
+    """Static derived dimensions for the kernel."""
+    m, Sp, ZL, ZLc = cfg["m"], cfg["Sp"], cfg["ZL"], cfg["ZLc"]
+    Eh = cfg["Eh"]
+    stride0 = cfg["stride0"]
+    TH, TW, F = cfg["TH"], cfg["TW"], cfg["F"]
+    W = cfg["W"]
+    dist_is_l2 = (cfg["dist_type"] == "l2")
+    is_int = cfg["is_int"]
+    x_es = ([(0, 0)] if is_int else list(X_E)) if dist_is_l2 else []
+    TPH = (TH - 1) * stride0 + 1
+    TPW = (TW - 1) * stride0 + 1
+    TPHx, TPWx = TPH + Eh, TPW + Eh
+    RH = TPHx + ZL + 4                 # raw rows (rows rebased per tile)
+    RW = -(-(W + 2 * cfg["pad1"]) // 128) * 128   # raw cols (full width)
+    AH = TPHx + ZL + 1
+    AW = TPWx + ZLc + 1
+    XFH = ZL + TPH
+    XFW = ZLc + TPW
+    r_need = sorted({r for r in range(m)}
+                    | {r + e[0] for r in range(m) for e in x_es})
+    s_need = sorted({s for s in range(m)}
+                    | {s + e[1] for s in range(m) for e in x_es})
+    nfam = 1 + len(x_es)
+    return dict(TPH=TPH, TPW=TPW, TPHx=TPHx, TPWx=TPWx, RH=RH, RW=RW,
+                AH=AH, AW=AW, XFH=XFH, XFW=XFW, r_need=r_need,
+                s_need=s_need, NR=len(r_need), NS=len(s_need),
+                nfam=nfam, x_es=x_es, nX=len(x_es),
+                dist_is_l2=dist_is_l2, is_int=is_int,
+                NXST=max(1, len(x_es) * m * m))
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _make_fwd_kernel(cfg):
+    m, su, Sp, ZL, ZLc = (cfg["m"], cfg["su"], cfg["Sp"], cfg["ZL"],
+                          cfg["ZLc"])
+    taps, t0s = cfg["taps"], cfg["t0s"]
+    ws, stride0 = cfg["ws"], cfg["stride0"]
+    TH, TW, F = cfg["TH"], cfg["TW"], cfg["F"]
+    H, W = cfg["H"], cfg["W"]
+    pad0 = cfg["pad0"]
+    s1 = float(cfg["stride1"])
+    init_val = float(dist_type_select(cfg["dist_type"])[2])
+    wmodw = cfg["wmodw"]              # static int in [0, m)
+    cbase = cfg["cbase"]              # static: floor(WINw/m) + pad1 - 1
+    dm = kernel_dims(cfg)
+    (TPH, TPW, TPHx, TPWx, RH, RW, AH, AW, XFH, XFW) = (
+        dm["TPH"], dm["TPW"], dm["TPHx"], dm["TPWx"], dm["RH"], dm["RW"],
+        dm["AH"], dm["AW"], dm["XFH"], dm["XFW"])
+    r_need, s_need = dm["r_need"], dm["s_need"]
+    NR, NS = dm["NR"], dm["NS"]
+    r_pos = {r: i for i, r in enumerate(r_need)}
+    s_pos = {sv: i for i, sv in enumerate(s_need)}
+    x_es, nX, nfam = dm["x_es"], dm["nX"], dm["nfam"]
+    dist_is_l2, is_int = dm["dist_is_l2"], dm["is_int"]
+    ncr, cc_terms, x_terms = _corner_terms(is_int, dist_is_l2)
+    tapsum = functools.partial(_tapsum_to_queries, taps=taps, t0s=t0s,
+                               TH=TH, TW=TW, stride0=stride0)
+
+    def kernel(scal_ref, v0_ref, v1_ref, l0h_ref, l0w_ref, th_ref, tw_ref,
+               ctrh_ref, ctrw_ref, offh_ref, offw_ref, out_ref,
+               v0w_ref, rawscr_ref, bst_ref, ast_ref, xst_ref, acc_ref,
+               sem0, sem1):
+        bh = pl.program_id(0)
+        p = pl.program_id(1)
+        t = pl.program_id(2)
+        ti = scal_ref[bh, p, t, 2]
+        tj = scal_ref[bh, p, t, 3]
+        tyv = t * TH * stride0 - t0s + pad0
+        r0 = scal_ref[bh, p, t, 0]
+        wmodh = scal_ref[bh, p, t, 1]
+
+        # -- DMA the two row windows (full width; rows-only dynamic) --
+        cp0 = pltpu.make_async_copy(
+            v0_ref.at[bh, ti, pl.ds(tyv, TPHx)], v0w_ref, sem0)
+        cp0.start()
+        cp1 = pltpu.make_async_copy(
+            v1_ref.at[bh, tj, pl.ds(r0, RH)], rawscr_ref, sem1)
+        cp1.start()
+        cp0.wait()
+        cp1.wait()
+        v0w = v0w_ref[:, :, pad0 - t0s:pad0 - t0s + TPWx]
+
+        # -- phase images: separable hat-weight interp, static slices.
+        #    Row weights are traced scalars (row origin is per-tile);
+        #    column weights are static python floats. --
+        for r in r_need:
+            wh = _hat_weights_scalar(wmodh + r, m, (1, 2, 3))
+            acc_b = None
+            for k in (1, 2, 3):
+                v = wh[k - 1] * rawscr_ref[k:k + AH]
+                acc_b = v if acc_b is None else acc_b + v
+            bst_ref[r_pos[r]] = acc_b
+        for r in r_need:
+            for sv in s_need:
+                acc_a = None
+                for c in (0, 1, 2, 3):
+                    w = _hat((wmodw + sv) / float(m) - (c - 1))
+                    if w == 0.0:
+                        continue
+                    v = bst_ref[r_pos[r], :, :, cbase + c:cbase + c + AW]
+                    v = v if w == 1.0 else w * v
+                    acc_a = v if acc_a is None else acc_a + v
+                ast_ref[r_pos[r] * NS + s_pos[sv]] = acc_a
+
+        # -- L2 self-product fields, tap-summed once --
+        for ei, e in enumerate(x_es):
+            for r in range(m):
+                for sv in range(m):
+                    a0 = ast_ref[r_pos[r] * NS + s_pos[sv]]
+                    a1 = ast_ref[r_pos[r + e[0]] * NS + s_pos[sv + e[1]]]
+                    prod = jnp.sum(a0 * a1, axis=1)  # [AH, AW]
+                    facc = None
+                    for a in taps:
+                        ia = a + t0s
+                        ya = prod[ia:ia + XFH, :]
+                        for b in taps:
+                            ib = b + t0s
+                            v = ya[:, ib:ib + XFW]
+                            facc = v if facc is None else facc + v
+                    xst_ref[:, (ei * m + r) * m + sv, :] = facc
+
+        l0h = l0h_ref[0, 0, 0]
+        l0w = l0w_ref[0, 0, 0]
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        # -- dense volume + separable one-hot selection; fori over the
+        #    pixel row shift, phases/column shifts unrolled (static) --
+        def zzh_body(zzh, _):
+            for r in range(m):
+                j_h = r + m * zzh
+                selw = [[None] * Sp for _ in range(nfam)]
+                for sv in range(m):
+                    aidx = r * NS + s_pos[sv]
+                    asl = ast_ref[aidx, pl.ds(zzh, TPHx)]
+                    for zzw in range(ZLc):
+                        j_w = sv + m * zzw
+                        a_sl = asl[:, :, zzw:zzw + TPWx]
+                        vals = [tapsum(jnp.sum(v0w * a_sl, axis=1))]
+                        for ei in range(nX):
+                            xidx = (ei * m + r) * m + sv
+                            xs = xst_ref[pl.ds(zzh, TPH), xidx,
+                                         zzw:zzw + TPW]
+                            if stride0 > 1:
+                                xs = xs[::stride0, ::stride0]
+                            vals.append(xs)
+                        for uw in range(Sp):
+                            mw = (l0w == (j_w - uw)).astype(jnp.float32)
+                            for fam in range(nfam):
+                                v = mw * vals[fam]
+                                cur = selw[fam][uw]
+                                selw[fam][uw] = (v if cur is None
+                                                 else cur + v)
+                for uh in range(Sp):
+                    mh = (l0h == (j_h - uh)).astype(jnp.float32)
+                    for fam in range(nfam):
+                        for uw in range(Sp):
+                            k = (fam * Sp + uh) * Sp + uw
+                            acc_ref[k] += mh * selw[fam][uw]
+            return 0
+
+        lax.fori_loop(0, ZL, zzh_body, 0)
+
+        def accv(fam, uh, uw):
+            return acc_ref[(fam * Sp + uh) * Sp + uw]
+
+        # -- assembly --
+        th = th_ref[0, 0, 0]
+        tw = tw_ref[0, 0, 0]
+        ctrh = ctrh_ref[0, 0, 0]
+        ctrw = ctrw_ref[0, 0, 0]
+        offh = offh_ref[0, 0, 0]
+        offw = offw_ref[0, 0, 0]
+        whc = (1. - th, th)
+        wvc = (1. - tw, tw)
+        if dist_is_l2:
+            ps0 = tapsum(jnp.sum(v0w * v0w, axis=1))
+        for i in range(ws):
+            ph = ctrh + s1 * (i - offh)
+            vh = jnp.logical_and(ph >= 0., ph <= float(H - 1))
+            for j in range(ws):
+                pw = ctrw + s1 * (j - offw)
+                vw = jnp.logical_and(pw >= 0., pw <= float(W - 1))
+                oh, ow = su * i, su * j
+                d = ps0 if dist_is_l2 else None
+                for (ch, cw) in cc_terms:
+                    ccv = accv(0, oh + ch, ow + cw)
+                    term = ccv if is_int else whc[ch] * wvc[cw] * ccv
+                    if dist_is_l2:
+                        d = d - 2. * term
+                    else:
+                        d = term if d is None else d + term
+                if dist_is_l2:
+                    for (ch, cw, ch2, cw2, c_use, fam) in x_terms:
+                        xv = accv(fam, oh + c_use[0], ow + c_use[1])
+                        if is_int:
+                            d = d + xv
+                        else:
+                            wgt = (whc[ch] * wvc[cw]
+                                   * whc[ch2] * wvc[cw2])
+                            d = d + wgt * xv
+                valid = jnp.logical_and(vh, vw)
+                d = jnp.where(valid, d, init_val)
+                out_ref[0, 0, 0, i * ws + j] = d
+
+    return kernel, dm
+
+
+def _fwd_pallas_call(cfg, v0e, v1p, scal, l0h, l0w, th, tw, ctrh, ctrw,
+                     offh, offw, interpret):
+    BH, P, nT = scal.shape[:3]
+    TH, TW, F = cfg["TH"], cfg["TW"], cfg["F"]
+    ws = cfg["ws"]
+    kernel, dm = _make_fwd_kernel(cfg)
+    qspec = pl.BlockSpec((1, 1, 1, TH, TW),
+                         lambda bh, p, t, *_: (bh, p, t, 0, 0),
+                         memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(BH, P, nT),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # v0e
+            pl.BlockSpec(memory_space=pl.ANY),   # v1p
+            qspec, qspec, qspec, qspec, qspec, qspec, qspec, qspec,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, ws * ws, TH, TW),
+            lambda bh, p, t, *_: (bh, p, t, 0, 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((dm["TPHx"], F, v0e.shape[-1]), jnp.float32),
+            pltpu.VMEM((dm["RH"], F, dm["RW"]), jnp.float32),
+            pltpu.VMEM((dm["NR"], dm["AH"], F, dm["RW"]), jnp.float32),
+            pltpu.VMEM((dm["NR"] * dm["NS"], dm["AH"], F, dm["AW"]),
+                       jnp.float32),
+            pltpu.VMEM((dm["XFH"], dm["NXST"], dm["XFW"]), jnp.float32),
+            pltpu.VMEM((dm["nfam"] * cfg["Sp"] * cfg["Sp"], TH, TW),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ])
+    out_shape = jax.ShapeDtypeStruct((BH, P, nT, ws * ws, TH, TW),
+                                     jnp.float32)
+    return pl.pallas_call(
+        kernel, out_shape=out_shape, grid_spec=grid_spec,
+        interpret=interpret,
+    )(scal, v0e, v1p, l0h, l0w, th, tw, ctrh, ctrw, offh, offw)
+
+
+# ---------------------------------------------------------------------------
+# full wrapper: flows -> per-query prep -> kernel -> volume layout
+# ---------------------------------------------------------------------------
+
+def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
+                      dist_type="l2", dilation=1, full_ws=True,
+                      use_adj=False, itype="float", flow_budget=8,
+                      spread_budget=8, tile=None, interpret=None):
+    """Pallas-kernel NLS volume. Returns (dists [B,HD,T,W_t,ws,ws,nH,nW],
+    inds3 [3,...], outliers [B,HD,T,W_t,nH,nW])."""
+    B, HD, T, F, H, W = vid0.shape
+    assert vid1.shape[-2:] == (H, W)
+    is_int = (itype == "int")
+    if is_int:
+        stride1 = float(max(1, int(stride1)))
+        flows = jnp.round(flows).astype(jnp.float32) \
+            if jnp.issubdtype(flows.dtype, jnp.floating) \
+            else flows.astype(jnp.float32)
+    else:
+        stride1 = float(stride1)
+    geo = pallas_geometry(ws=ws, ps=ps, stride1=stride1, dilation=dilation,
+                          flow_budget=flow_budget,
+                          spread_budget=spread_budget, use_adj=use_adj)
+    m, su, Sp = geo["m"], geo["su"], geo["Sp"]
+    ZMAX, ZMAXc, Dloc, Dkc = (geo["ZMAX"], geo["ZMAXc"], geo["Dloc"],
+                              geo["Dkc"])
+    pad0, pad1, t0s = geo["pad0"], geo["pad1"], geo["t0s"]
+    # row domain: global [KLO, KHI], rebased per tile to [0, Dloc)
+    KLO = -m * ZMAX
+    KHI = KLO + m * (2 * ZMAX + 1) - 1
+    # column domain: global static [KLOc, KLOc + Dkc)
+    KLOc = -m * ZMAXc
+    KHIc = KLOc + Dkc - 1
+    W_t = min(2 * wt + 1, T)
+    nH, nW = num_queries(H, W, stride0)
+    if tile is None:
+        TH = _largest_divisor_leq(nH, 8)
+    else:
+        TH = tile[0] if isinstance(tile, (tuple, list)) else tile
+    TW = nW      # full query rows (columns are not tiled)
+    assert nH % TH == 0
+    nT = nH // TH
+    BH = B * HD
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    # ---- per-query center / window / lattice-anchor prep (differentiable
+    # where the reference is: th/tw carry the flow gradient) ----
+    st_offset = W_t - flows.shape[3]
+    assert st_offset in (0, 1)
+    flows = _expand_flow_heads(flows, HD)
+    dtype = jnp.float32
+    ref_h = (jnp.arange(nH, dtype=jnp.int32) * stride0) % H
+    ref_w = (jnp.arange(nW, dtype=jnp.int32) * stride0) % W
+    base_h = ref_h[None, None, None, None, :, None].astype(dtype)
+    base_w = ref_w[None, None, None, None, None, :].astype(dtype)
+    fH = flows[:, :, :, :, 1]
+    fW = flows[:, :, :, :, 0]
+    if st_offset == 1:
+        zshape = fH.shape[:3] + (1,) + fH.shape[4:]
+        zero = jnp.zeros(zshape, fH.dtype)
+        fH = jnp.concatenate([zero, fH], axis=3)
+        fW = jnp.concatenate([zero, fW], axis=3)
+    ctr_h = reflect_bounds(base_h + fH, H)   # [B,HD,T,W_t,nH,nW]
+    ctr_w = reflect_bounds(base_w + fW, W)
+    off_h, off_w = search_offsets(ctr_h, ctr_w, stride1, ws, H, W,
+                                  full_ws, False)
+    rho_h = m * (ctr_h - base_h) - su * off_h
+    rho_w = m * (ctr_w - base_w) - su * off_w
+    k0h_f = jnp.floor(lax.stop_gradient(rho_h))
+    k0w_f = jnp.floor(lax.stop_gradient(rho_w))
+    th = (rho_h - k0h_f).astype(dtype)
+    tw = (rho_w - k0w_f).astype(dtype)
+    k0h = k0h_f.astype(jnp.int32)
+    k0w = k0w_f.astype(jnp.int32)
+    out_h = (k0h < KLO) | (k0h + Sp - 1 > KHI)
+    out_w = (k0w < KLOc) | (k0w + Sp - 1 > KHIc)
+    outliers = out_h | out_w
+    k0h = jnp.clip(k0h, KLO, KHI - Sp + 1)
+    k0w = jnp.clip(k0w, KLOc, KHIc - Sp + 1)
+    if is_int:
+        th = jnp.zeros_like(th)
+        tw = jnp.zeros_like(tw)
+    l0w_full = k0w - KLOc                # global column anchor
+
+    # ---- row-tile rebasing ----
+    P = T * W_t
+
+    def to_tiles(x):
+        """[B,HD,T,W_t,nH,nW] -> [BH, P, nT, TH, TW]."""
+        return x.reshape(BH, P, nT, TH, TW)
+
+    def from_tiles_mask(x):
+        return x.reshape(B, HD, T, W_t, nH, nW)
+
+    k0h_t = to_tiles(k0h)
+    oh_t = jnp.clip(jnp.min(k0h_t, axis=(3, 4)), KLO, KHI - Dloc + 1)
+    l0h = k0h_t - oh_t[..., None, None]
+    spill = (l0h < 0) | (l0h > Dloc - Sp)
+    outliers = outliers | from_tiles_mask(spill)
+    l0h = jnp.clip(l0h, 0, Dloc - Sp)
+
+    # ---- per-tile DMA scalars + static frame-pair tables ----
+    tj_table = time_window_frames(T, wt)          # [T, W_t] np
+    t_tab = np.repeat(np.arange(T), W_t).astype(np.int32)
+    tj_tab = np.asarray(tj_table).reshape(-1).astype(np.int32)
+
+    ty0 = jnp.arange(nT, dtype=jnp.int32) * TH * stride0
+    WINh = m * (ty0[None, None] - t0s) + oh_t     # [BH, P, nT]
+    r0 = jnp.floor_divide(WINh, m) + (pad1 - 1)
+    wmodh = WINh - m * jnp.floor_divide(WINh, m)
+    ti_b = jnp.broadcast_to(jnp.asarray(t_tab)[None, :, None], r0.shape)
+    tj_b = jnp.broadcast_to(jnp.asarray(tj_tab)[None, :, None], r0.shape)
+    scal = jnp.stack([r0, wmodh, ti_b, tj_b], axis=-1).astype(jnp.int32)
+
+    # static column window origin (see kernel: cbase/wmodw)
+    WINw = m * (0 - t0s) + KLOc
+    cbase = WINw // m + pad1 - 1
+    wmodw_s = WINw - m * (WINw // m)
+
+    # ---- padded videos, rows-major layout [BH, T, Hp, F, Wp] ----
+    # DMA slice shapes must respect the (8, 128) HBM tiling: round the
+    # channel dim up to 8 and the minor (width) dim up to 128 with zeros
+    # (zero channels/columns contribute nothing to any distance term).
+    Fp = -(-F // 8) * 8
+    v0p = jnp.pad(vid0.astype(jnp.float32),
+                  ((0, 0),) * 4 + ((pad0, pad0), (pad0, pad0)),
+                  mode="reflect").reshape(BH, T, F, H + 2 * pad0,
+                                          W + 2 * pad0)
+    v0p = jnp.transpose(v0p, (0, 1, 3, 2, 4))
+    W0r = -(-(W + 2 * pad0) // 128) * 128 - (W + 2 * pad0)
+    v0p = jnp.pad(v0p, ((0, 0), (0, 0), (0, 0), (0, Fp - F), (0, W0r)))
+    v1p = jnp.pad(vid1.astype(jnp.float32),
+                  ((0, 0),) * 4 + ((pad1, pad1), (pad1, pad1)),
+                  mode="reflect").reshape(BH, T, F, H + 2 * pad1,
+                                          W + 2 * pad1)
+    v1p = jnp.transpose(v1p, (0, 1, 3, 2, 4))
+    W1r = -(-(W + 2 * pad1) // 128) * 128 - (W + 2 * pad1)
+    v1p = jnp.pad(v1p, ((0, 0), (0, 0), (0, 0), (0, Fp - F), (0, W1r)))
+
+    cfg = dict(geo, ws=ws, ps=ps, stride0=stride0, stride1=stride1,
+               dist_type=dist_type, is_int=is_int, TH=TH, TW=TW, F=Fp,
+               H=H, W=W, cbase=int(cbase), wmodw=int(wmodw_s))
+
+    d_t = _vol_op(_freeze(cfg), bool(interpret), v0p, v1p, scal,
+                  l0h, to_tiles(l0w_full), to_tiles(th), to_tiles(tw),
+                  to_tiles(ctr_h), to_tiles(ctr_w),
+                  to_tiles(off_h.astype(dtype)),
+                  to_tiles(off_w.astype(dtype)))
+
+    # [BH, P, nT, ws*ws, TH, TW] -> [B,HD,T,W_t,ws,ws,nH,nW]
+    d = jnp.transpose(d_t.reshape(BH, P, nT, ws, ws, TH, TW),
+                      (0, 1, 3, 4, 2, 5, 6)).reshape(
+        B, HD, T, W_t, ws, ws, nH, nW)
+
+    _, _, init_val = dist_type_select(dist_type)
+    inval = jnp.asarray(init_val, jnp.float32)
+    d = jnp.where(outliers[:, :, :, :, None, None], inval, d)
+
+    # ---- offsets (identical to the other paths) ----
+    cdtype = jnp.int32 if is_int else vid0.dtype
+    cells = jnp.arange(ws, dtype=dtype)
+    s1c = jnp.asarray(stride1, dtype)
+    prop_h = ctr_h[:, :, :, :, None] + s1c * (cells[:, None, None]
+                                              - off_h[:, :, :, :, None])
+    prop_w = ctr_w[:, :, :, :, None] + s1c * (cells[:, None, None]
+                                              - off_w[:, :, :, :, None])
+    dt = (jnp.asarray(tj_table) - np.arange(T)[:, None]).astype(cdtype)
+    dh = (prop_h - base_h[:, :, :, :, None])[:, :, :, :, :, None]
+    dw = (prop_w - base_w[:, :, :, :, None])[:, :, :, :, None, :]
+    shape8 = d.shape
+    inds3 = jnp.stack([
+        jnp.broadcast_to(dt[None, None, :, :, None, None, None, None],
+                         shape8).astype(cdtype),
+        jnp.broadcast_to(dh, shape8).astype(cdtype),
+        jnp.broadcast_to(dw, shape8).astype(cdtype),
+    ], axis=0)
+    d = d.astype(vid0.dtype)
+    return d, inds3, outliers
+
+
+class _Frozen:
+    """Hashable wrapper for the static cfg dict."""
+
+    def __init__(self, d):
+        self.d = dict(d)
+        self._key = tuple(sorted(
+            (k, tuple(v) if isinstance(v, list) else v)
+            for k, v in self.d.items()))
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, _Frozen) and self._key == other._key
+
+    def __getitem__(self, k):
+        return self.d[k]
+
+
+def _freeze(cfg):
+    cfg = dict(cfg)
+    cfg["taps"] = tuple(cfg["taps"])
+    return _Frozen(cfg)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _vol_op(cfg, interpret, v0e, v1p, scal, l0h, l0w, th, tw,
+            ctrh, ctrw, offh, offw):
+    return _fwd_pallas_call(cfg.d, v0e, v1p, scal, l0h, l0w, th, tw,
+                            ctrh, ctrw, offh, offw, interpret)
+
+
+def _vol_fwd(cfg, interpret, v0e, v1p, scal, l0h, l0w, th, tw,
+             ctrh, ctrw, offh, offw):
+    out = _fwd_pallas_call(cfg.d, v0e, v1p, scal, l0h, l0w, th, tw,
+                           ctrh, ctrw, offh, offw, interpret)
+    return out, (v0e, v1p, scal, l0h, l0w, th, tw, ctrh, ctrw, offh, offw)
+
+
+def _vol_bwd(cfg, interpret, res, g):
+    from stnls_tpu.ops.nls_pallas_bwd import vol_bwd_pallas
+    v0e, v1p, scal, l0h, l0w, th, tw, ctrh, ctrw, offh, offw = res
+    g_v0e, g_v1p, g_th, g_tw = vol_bwd_pallas(
+        cfg.d, interpret, g, v0e, v1p, scal, l0h, l0w, th, tw,
+        ctrh, ctrw, offh, offw)
+    return (g_v0e, g_v1p, None, None, None, g_th, g_tw, None, None,
+            None, None)
+
+
+_vol_op.defvjp(_vol_fwd, _vol_bwd)
