@@ -12,13 +12,19 @@ numbers — bench/search.py is a harness only, SURVEY §6); the estimate
 (500 frames/s) is derived from the op's arithmetic/memory footprint and is
 held fixed across rounds so the ratio tracks our progress.
 
-Measurement discipline (axon runtime quirks, see benchmarks/probe_*.py):
-block_until_ready does NOT synchronize through the axon tunnel (async
-mirage) — only device->host transfers do. So each iteration's input is
-data-chained to the previous iteration's output and the loop is closed
-with a float() sync; identical inputs are also dedup-cached, hence the
-varying scalar. The fwd-only fallback re-execs a fresh subprocess so the
-async backlog of a failed fwd+bwd attempt can't pollute the measurement.
+Workload notes:
+- Flows are smooth random fields (low-frequency Fourier modes, ±4 px)
+  like real TV-L1 flows — the Pallas search kernel's per-tile rebasing
+  assumes flow smoothness, and the run asserts EXACTNESS up front by
+  checking that zero search entries fall outside the kernel's flow
+  budget (`outliers` must be empty, so the timed computation is
+  bit-equivalent to the exhaustive search).
+- Measurement discipline (axon runtime quirks, benchmarks/probe_*.py):
+  block_until_ready does NOT synchronize through the axon tunnel — only
+  device->host transfers do. Each iteration's input is data-chained to
+  the previous output and the loop closes with a float() sync.
+- A persistent compilation cache (.jax_cache/) makes repeat runs skip
+  the long Mosaic+XLA compile.
 """
 
 import json
@@ -34,8 +40,31 @@ import numpy as np
 A100_EST_FPS = 500.0
 
 
+def smooth_flows(rng, shape, amp=4.0, modes=4):
+    """Low-frequency random flow fields [B,T,2,H,W], |flow| <= ~amp."""
+    B, T, _, H, W = shape
+    y = np.linspace(0, 2 * np.pi, H, endpoint=False)
+    x = np.linspace(0, 2 * np.pi, W, endpoint=False)
+    yy, xx = np.meshgrid(y, x, indexing="ij")
+    out = np.zeros(shape, np.float32)
+    for b in range(B):
+        for t in range(T):
+            for c in range(2):
+                f = np.zeros((H, W))
+                for _ in range(modes):
+                    ky, kx = rng.integers(0, 3, 2)
+                    ph = rng.uniform(0, 2 * np.pi, 2)
+                    f += rng.normal() * np.cos(ky * yy + ph[0]) \
+                        * np.cos(kx * xx + ph[1])
+                f *= amp / (np.abs(f).max() + 1e-8) * rng.uniform(0.5, 1.0)
+                out[b, t, c] = f
+    return out
+
+
 def build():
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import stnls_tpu
 
@@ -49,13 +78,29 @@ def build():
     vid = jnp.asarray(rng.standard_normal((B, T, F, H, W)), jnp.float32)
     proj_w = jnp.asarray(rng.standard_normal((F, F)) / 4., jnp.float32)
     stack_w = jnp.asarray(rng.standard_normal((K, F, F)) / 8., jnp.float32)
-    fflow = jnp.asarray(rng.standard_normal((B, T, 2, H, W)), jnp.float32)
-    bflow = jnp.asarray(rng.standard_normal((B, T, 2, H, W)), jnp.float32)
+    fflow = jnp.asarray(smooth_flows(rng, (B, T, 2, H, W)), jnp.float32)
+    bflow = jnp.asarray(smooth_flows(rng, (B, T, 2, H, W)), jnp.float32)
 
+    FLOW_BUDGET, SPREAD_BUDGET = 8, 12
     search = stnls_tpu.search.NonLocalSearch(
         ws, wt, ps, K, nheads=HD, stride0=stride0, stride1=stride1,
-        self_action="anchor", itype="float")
+        self_action="anchor", itype="float",
+        flow_budget=FLOW_BUDGET, spread_budget=SPREAD_BUDGET)
     gather = stnls_tpu.agg.NonLocalGather(ps=ps, stride0=stride0)
+
+    # -- exactness guard: the timed kernel must have zero out-of-budget
+    # entries (otherwise its fast path would silently degrade); pure jnp
+    # geometry prep, no kernel compile --
+    from stnls_tpu.ops.nls_pallas import pallas_outliers
+    from stnls_tpu.search.utils import shape_flows
+    flows_chk = stnls_tpu.nn.search_flow(fflow, bflow, wt, stride0)
+    outl = pallas_outliers(
+        (B, HD, T, F, H, W), shape_flows(HD, flows_chk), ws=ws, wt=wt,
+        ps=ps, stride0=stride0, stride1=stride1, dist_type="l2",
+        itype="float", flow_budget=FLOW_BUDGET, spread_budget=SPREAD_BUDGET)
+    n_outl = int(jnp.sum(outl))
+    assert n_outl == 0, f"{n_outl} out-of-budget search entries; bench " \
+        "would not be exact — raise flow_budget/spread_budget"
 
     def attn(v_in, fflow, bflow, s):
         v_in = v_in + s

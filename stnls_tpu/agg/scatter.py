@@ -23,7 +23,7 @@ from stnls_tpu.agg.utils import ensure_ndim6, ensure_flow_heads, expand_heads
 
 def non_local_scatter(vid, weights, flows_k, labels, ps=7, stride0=4, pt=1,
                       reflect_bounds=True, dilation=1, use_adj=False,
-                      itype="int"):
+                      itype="int", S=None):
     reflect_bounds_ = reflect_bounds
     flows_k = ensure_flow_heads(flows_k)
     HD = flows_k.shape[1]
@@ -33,7 +33,10 @@ def non_local_scatter(vid, weights, flows_k, labels, ps=7, stride0=4, pt=1,
     K = flows_k.shape[-2]
     nH, nW = num_queries(H, W, stride0)
     patch_offset = 0 if use_adj else -(ps // 2)
-    S = int(jnp.max(labels)) + 1
+    # pass S statically (graph_opts.scatter_labels.slot_bound) to stay
+    # jittable; fallback matches the reference's labels.max()+1 host sync
+    if S is None:
+        S = int(jnp.max(labels)) + 1
     flows_k = jnp.round(flows_k).astype(jnp.int32) \
         if jnp.issubdtype(flows_k.dtype, jnp.floating) else flows_k
     weights = weights.reshape(B, HD, T, nH, nW, K)
@@ -105,7 +108,7 @@ def non_local_scatter(vid, weights, flows_k, labels, ps=7, stride0=4, pt=1,
 class NonLocalScatter:
 
     def __init__(self, ps, stride0, pt=1, dilation=1, reflect_bounds=True,
-                 use_adj=False, itype="int"):
+                 use_adj=False, itype="int", S=None):
         assert itype == "int", "Must use int search."
         self.ps = ps
         self.stride0 = stride0
@@ -114,11 +117,13 @@ class NonLocalScatter:
         self.reflect_bounds = reflect_bounds
         self.use_adj = use_adj
         self.itype = itype
+        self.S = S
 
     def __call__(self, vid, weights, flows_k, labels):
         return non_local_scatter(vid, weights, flows_k, labels, self.ps,
                                  self.stride0, self.pt, self.reflect_bounds,
-                                 self.dilation, self.use_adj, self.itype)
+                                 self.dilation, self.use_adj, self.itype,
+                                 S=self.S)
 
     forward = __call__
 

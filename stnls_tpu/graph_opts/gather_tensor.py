@@ -12,10 +12,13 @@ import jax.numpy as jnp
 from stnls_tpu.graph_opts.scatter_labels import _dest_raster
 
 
-def run(tensor, flows_k, labels, stride0, stride1, H, W, invalid=jnp.inf):
+def run(tensor, flows_k, labels, stride0, stride1, H, W, invalid=jnp.inf,
+        S=None):
     B, HD, T, nH, nW, K = flows_k.shape[:6]
     Q0 = T * nH * nW
-    S = int(jnp.max(labels)) + 1
+    # pass S statically (scatter_labels.slot_bound) to stay jittable
+    if S is None:
+        S = int(jnp.max(labels)) + 1
     nH1 = (H - 1) // stride1 + 1
     nW1 = (W - 1) // stride1 + 1
     Q1 = T * nH1 * nW1

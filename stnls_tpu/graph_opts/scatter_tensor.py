@@ -12,12 +12,15 @@ import jax.numpy as jnp
 from stnls_tpu.graph_opts.scatter_labels import _dest_raster
 
 
-def run(tensor, flows_k, labels, stride0, stride1, H, W, invalid=jnp.inf):
+def run(tensor, flows_k, labels, stride0, stride1, H, W, invalid=jnp.inf,
+        S=None):
     B, HD, T, nH0, nW0, K = tensor.shape[:6]
     Q0 = T * nH0 * nW0
-    # slot count from the labels (matches the reference's labels.max()+1;
-    # forces a host sync, so call outside jit or pass static labels)
-    S = int(jnp.max(labels)) + 1
+    # slot count: pass S statically (e.g. scatter_labels.slot_bound) to stay
+    # jittable; the labels.max()+1 fallback matches the reference but forces
+    # a host sync.
+    if S is None:
+        S = int(jnp.max(labels)) + 1
     tensor = tensor.reshape(B, HD, Q0, K, -1)
     M = tensor.shape[-1]
     nH1 = (H - 1) // stride1 + 1
@@ -45,8 +48,9 @@ def run(tensor, flows_k, labels, stride0, stride1, H, W, invalid=jnp.inf):
     return out
 
 
-def apply(tensor, flows_k, labels, stride0, stride1, H, W, invalid=jnp.inf):
-    return run(tensor, flows_k, labels, stride0, stride1, H, W, invalid)
+def apply(tensor, flows_k, labels, stride0, stride1, H, W, invalid=jnp.inf,
+          S=None):
+    return run(tensor, flows_k, labels, stride0, stride1, H, W, invalid, S)
 
 
 def run_topk(weights, flows_k, labels, K, descending=True):

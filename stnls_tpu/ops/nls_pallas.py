@@ -230,7 +230,7 @@ def _make_fwd_kernel(cfg):
         t = pl.program_id(2)
         ti = scal_ref[bh, p, t, 2]
         tj = scal_ref[bh, p, t, 3]
-        tyv = t * TH * stride0 - t0s + pad0
+        tyv = scal_ref[bh, p, t, 4]   # global v0 row origin (band-aware)
         r0 = scal_ref[bh, p, t, 0]
         wmodh = scal_ref[bh, p, t, 1]
 
@@ -415,14 +415,30 @@ def _fwd_pallas_call(cfg, v0e, v1p, scal, l0h, l0w, th, tw, ctrh, ctrw,
 # full wrapper: flows -> per-query prep -> kernel -> volume layout
 # ---------------------------------------------------------------------------
 
-def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
-                      dist_type="l2", dilation=1, full_ws=True,
-                      use_adj=False, itype="float", flow_budget=8,
-                      spread_budget=8, tile=None, interpret=None):
-    """Pallas-kernel NLS volume. Returns (dists [B,HD,T,W_t,ws,ws,nH,nW],
-    inds3 [3,...], outliers [B,HD,T,W_t,nH,nW])."""
-    B, HD, T, F, H, W = vid0.shape
-    assert vid1.shape[-2:] == (H, W)
+def pallas_outliers(vid_shape, flows, *, ws, wt, ps, stride0, stride1,
+                    dist_type="l2", dilation=1, full_ws=True,
+                    use_adj=False, itype="float", flow_budget=8,
+                    spread_budget=8, tile=None):
+    """Outlier mask [B,HD,T,W_t,nH,nW] the kernel WOULD flag for these
+    flows — pure jnp prep, no Pallas call/compile. Used by exactness
+    guards (bench.py) to validate a flow budget cheaply."""
+    B, HD, T, F, H, W = vid_shape
+    return _pallas_prep(vid_shape, flows, ws=ws, wt=wt, ps=ps,
+                        stride0=stride0, stride1=stride1,
+                        dilation=dilation, full_ws=full_ws, use_adj=use_adj,
+                        itype=itype, flow_budget=flow_budget,
+                        spread_budget=spread_budget, tile=tile)["outliers"]
+
+
+def _pallas_prep(vid_shape, flows, *, ws, wt, ps, stride0, stride1,
+                 dilation, full_ws, use_adj, itype, flow_budget,
+                 spread_budget, tile, row0=0):
+    """Shared geometry prep (centers, window offsets, lattice anchors,
+    per-tile row rebasing, outlier flags) — pure jnp, no Pallas call.
+
+    row0: first query-grid row of this band (global units); flows carry
+    only the band's rows, so nH is taken from flows, not the video."""
+    B, HD, T, F, H, W = vid_shape
     is_int = (itype == "int")
     if is_int:
         stride1 = float(max(1, int(stride1)))
@@ -437,33 +453,26 @@ def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
     m, su, Sp = geo["m"], geo["su"], geo["Sp"]
     ZMAX, ZMAXc, Dloc, Dkc = (geo["ZMAX"], geo["ZMAXc"], geo["Dloc"],
                               geo["Dkc"])
-    pad0, pad1, t0s = geo["pad0"], geo["pad1"], geo["t0s"]
-    # row domain: global [KLO, KHI], rebased per tile to [0, Dloc)
     KLO = -m * ZMAX
     KHI = KLO + m * (2 * ZMAX + 1) - 1
-    # column domain: global static [KLOc, KLOc + Dkc)
     KLOc = -m * ZMAXc
     KHIc = KLOc + Dkc - 1
     W_t = min(2 * wt + 1, T)
-    nH, nW = num_queries(H, W, stride0)
+    nHq, nW = num_queries(H, W, stride0)
+    nH = flows.shape[-2]          # band rows (== nHq when unbanded)
+    assert nH <= nHq and flows.shape[-1] == nW
     if tile is None:
         TH = _largest_divisor_leq(nH, 8)
     else:
         TH = tile[0] if isinstance(tile, (tuple, list)) else tile
-    TW = nW      # full query rows (columns are not tiled)
     assert nH % TH == 0
     nT = nH // TH
     BH = B * HD
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-
-    # ---- per-query center / window / lattice-anchor prep (differentiable
-    # where the reference is: th/tw carry the flow gradient) ----
     st_offset = W_t - flows.shape[3]
     assert st_offset in (0, 1)
     flows = _expand_flow_heads(flows, HD)
     dtype = jnp.float32
-    ref_h = (jnp.arange(nH, dtype=jnp.int32) * stride0) % H
+    ref_h = ((row0 + jnp.arange(nH, dtype=jnp.int32)) * stride0) % H
     ref_w = (jnp.arange(nW, dtype=jnp.int32) * stride0) % W
     base_h = ref_h[None, None, None, None, :, None].astype(dtype)
     base_w = ref_w[None, None, None, None, None, :].astype(dtype)
@@ -474,7 +483,7 @@ def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
         zero = jnp.zeros(zshape, fH.dtype)
         fH = jnp.concatenate([zero, fH], axis=3)
         fW = jnp.concatenate([zero, fW], axis=3)
-    ctr_h = reflect_bounds(base_h + fH, H)   # [B,HD,T,W_t,nH,nW]
+    ctr_h = reflect_bounds(base_h + fH, H)
     ctr_w = reflect_bounds(base_w + fW, W)
     off_h, off_w = search_offsets(ctr_h, ctr_w, stride1, ws, H, W,
                                   full_ws, False)
@@ -495,46 +504,28 @@ def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
         th = jnp.zeros_like(th)
         tw = jnp.zeros_like(tw)
     l0w_full = k0w - KLOc                # global column anchor
-
-    # ---- row-tile rebasing ----
     P = T * W_t
-
-    def to_tiles(x):
-        """[B,HD,T,W_t,nH,nW] -> [BH, P, nT, TH, TW]."""
-        return x.reshape(BH, P, nT, TH, TW)
-
-    def from_tiles_mask(x):
-        return x.reshape(B, HD, T, W_t, nH, nW)
-
-    k0h_t = to_tiles(k0h)
+    k0h_t = k0h.reshape(BH, P, nT, TH, nW)
     oh_t = jnp.clip(jnp.min(k0h_t, axis=(3, 4)), KLO, KHI - Dloc + 1)
     l0h = k0h_t - oh_t[..., None, None]
     spill = (l0h < 0) | (l0h > Dloc - Sp)
-    outliers = outliers | from_tiles_mask(spill)
+    outliers = outliers | spill.reshape(B, HD, T, W_t, nH, nW)
     l0h = jnp.clip(l0h, 0, Dloc - Sp)
+    return dict(geo=geo, stride1=stride1, is_int=is_int, W_t=W_t, nH=nH,
+                nW=nW, TH=TH, nT=nT, BH=BH, P=P, ctr_h=ctr_h, ctr_w=ctr_w,
+                off_h=off_h, off_w=off_w, th=th, tw=tw, l0h=l0h,
+                l0w_full=l0w_full, oh_t=oh_t, outliers=outliers,
+                base_h=base_h, base_w=base_w)
 
-    # ---- per-tile DMA scalars + static frame-pair tables ----
-    tj_table = time_window_frames(T, wt)          # [T, W_t] np
-    t_tab = np.repeat(np.arange(T), W_t).astype(np.int32)
-    tj_tab = np.asarray(tj_table).reshape(-1).astype(np.int32)
 
-    ty0 = jnp.arange(nT, dtype=jnp.int32) * TH * stride0
-    WINh = m * (ty0[None, None] - t0s) + oh_t     # [BH, P, nT]
-    r0 = jnp.floor_divide(WINh, m) + (pad1 - 1)
-    wmodh = WINh - m * jnp.floor_divide(WINh, m)
-    ti_b = jnp.broadcast_to(jnp.asarray(t_tab)[None, :, None], r0.shape)
-    tj_b = jnp.broadcast_to(jnp.asarray(tj_tab)[None, :, None], r0.shape)
-    scal = jnp.stack([r0, wmodh, ti_b, tj_b], axis=-1).astype(jnp.int32)
+def _pad_vids(vid0, vid1, pad0, pad1):
+    """Reflect-pad + rows-major relayout [BH, T, Hp, F, Wp].
 
-    # static column window origin (see kernel: cbase/wmodw)
-    WINw = m * (0 - t0s) + KLOc
-    cbase = WINw // m + pad1 - 1
-    wmodw_s = WINw - m * (WINw // m)
-
-    # ---- padded videos, rows-major layout [BH, T, Hp, F, Wp] ----
-    # DMA slice shapes must respect the (8, 128) HBM tiling: round the
-    # channel dim up to 8 and the minor (width) dim up to 128 with zeros
-    # (zero channels/columns contribute nothing to any distance term).
+    DMA slice shapes must respect the (8, 128) HBM tiling: round the
+    channel dim up to 8 and the minor (width) dim up to 128 with zeros
+    (zero channels/columns contribute nothing to any distance term)."""
+    B, HD, T, F, H, W = vid0.shape
+    BH = B * HD
     Fp = -(-F // 8) * 8
     v0p = jnp.pad(vid0.astype(jnp.float32),
                   ((0, 0),) * 4 + ((pad0, pad0), (pad0, pad0)),
@@ -550,6 +541,93 @@ def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
     v1p = jnp.transpose(v1p, (0, 1, 3, 2, 4))
     W1r = -(-(W + 2 * pad1) // 128) * 128 - (W + 2 * pad1)
     v1p = jnp.pad(v1p, ((0, 0), (0, 0), (0, 0), (0, Fp - F), (0, W1r)))
+    return v0p, v1p
+
+
+def pallas_pad_vids(vid0, vid1, *, ws, ps, stride1, dilation=1,
+                    flow_budget=8, spread_budget=8, use_adj=False,
+                    itype="float"):
+    """Public pad helper for the banded streaming path: pad once, pass
+    via nls_pallas_volume(padded_vids=...) for every band."""
+    if itype == "int":
+        stride1 = float(max(1, int(stride1)))
+    geo = pallas_geometry(ws=ws, ps=ps, stride1=float(stride1),
+                          dilation=dilation, flow_budget=flow_budget,
+                          spread_budget=spread_budget, use_adj=use_adj)
+    return _pad_vids(vid0, vid1, geo["pad0"], geo["pad1"])
+
+
+def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
+                      dist_type="l2", dilation=1, full_ws=True,
+                      use_adj=False, itype="float", flow_budget=8,
+                      spread_budget=8, tile=None, interpret=None,
+                      row0=0, padded_vids=None):
+    """Pallas-kernel NLS volume. Returns (dists [B,HD,T,W_t,ws,ws,nH,nW],
+    inds3 [3,...], outliers [B,HD,T,W_t,nH,nW]).
+
+    row0 + banded flows (nH_band rows) restrict the query grid to a row
+    band — the memory-bounded streaming path (SURVEY hard part #5) maps
+    over bands so nothing search-volume-sized for the full frame is ever
+    materialized. padded_vids (from pallas_pad_vids) lets the band loop
+    reuse one padded copy of the videos across bands."""
+    B, HD, T, F, H, W = vid0.shape
+    assert vid1.shape[-2:] == (H, W)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    # ---- per-query center / window / lattice-anchor prep (differentiable
+    # where the reference is: th/tw carry the flow gradient) ----
+    prep = _pallas_prep(vid0.shape, flows, ws=ws, wt=wt, ps=ps,
+                        stride0=stride0, stride1=stride1, dilation=dilation,
+                        full_ws=full_ws, use_adj=use_adj, itype=itype,
+                        flow_budget=flow_budget, spread_budget=spread_budget,
+                        tile=tile, row0=row0)
+    geo, stride1, is_int = prep["geo"], prep["stride1"], prep["is_int"]
+    W_t, nH, nW = prep["W_t"], prep["nH"], prep["nW"]
+    TH, nT, BH, P = prep["TH"], prep["nT"], prep["BH"], prep["P"]
+    TW = nW      # full query rows (columns are not tiled)
+    ctr_h, ctr_w = prep["ctr_h"], prep["ctr_w"]
+    off_h, off_w = prep["off_h"], prep["off_w"]
+    th, tw = prep["th"], prep["tw"]
+    l0h, l0w_full, oh_t = prep["l0h"], prep["l0w_full"], prep["oh_t"]
+    outliers = prep["outliers"]
+    base_h, base_w = prep["base_h"], prep["base_w"]
+    m, su, Sp = geo["m"], geo["su"], geo["Sp"]
+    pad0, pad1, t0s = geo["pad0"], geo["pad1"], geo["t0s"]
+    KLOc = -m * geo["ZMAXc"]
+    dtype = jnp.float32
+
+    def to_tiles(x):
+        """[B,HD,T,W_t,nH,nW] -> [BH, P, nT, TH, TW]."""
+        return x.reshape(BH, P, nT, TH, TW)
+
+    # ---- per-tile DMA scalars + static frame-pair tables ----
+    tj_table = time_window_frames(T, wt)          # [T, W_t] np
+    t_tab = np.repeat(np.arange(T), W_t).astype(np.int32)
+    tj_tab = np.asarray(tj_table).reshape(-1).astype(np.int32)
+
+    ty0 = (row0 + jnp.arange(nT, dtype=jnp.int32) * TH) * stride0
+    WINh = m * (ty0[None, None] - t0s) + oh_t     # [BH, P, nT]
+    r0 = jnp.floor_divide(WINh, m) + (pad1 - 1)
+    wmodh = WINh - m * jnp.floor_divide(WINh, m)
+    tyv = ty0 - t0s + pad0                        # v0 window origin [nT]
+    ti_b = jnp.broadcast_to(jnp.asarray(t_tab)[None, :, None], r0.shape)
+    tj_b = jnp.broadcast_to(jnp.asarray(tj_tab)[None, :, None], r0.shape)
+    tyv_b = jnp.broadcast_to(tyv[None, None, :], r0.shape)
+    scal = jnp.stack([r0, wmodh, ti_b, tj_b, tyv_b],
+                     axis=-1).astype(jnp.int32)
+
+    # static column window origin (see kernel: cbase/wmodw)
+    WINw = m * (0 - t0s) + KLOc
+    cbase = WINw // m + pad1 - 1
+    wmodw_s = WINw - m * (WINw // m)
+
+    # ---- padded videos, rows-major layout [BH, T, Hp, F, Wp] ----
+    if padded_vids is None:
+        v0p, v1p = _pad_vids(vid0, vid1, pad0, pad1)
+    else:
+        v0p, v1p = padded_vids
+    Fp = v0p.shape[3]
 
     cfg = dict(geo, ws=ws, ps=ps, stride0=stride0, stride1=stride1,
                dist_type=dist_type, is_int=is_int, TH=TH, TW=TW, F=Fp,

@@ -1,0 +1,435 @@
+"""Backward Pallas kernel for the fused non-local search volume.
+
+Given the cotangent of the [ws,ws] distance volume, emits grads to the
+padded rows-major videos (v0e, v1p) and to the bilinear corner weights
+(th, tw). Structure mirrors the forward (ops/nls_pallas.py) in reverse:
+
+  A. recompute the forward per-tile state (windows, phase images A,
+     tap-summed X_e fields, selected CC/X windows) — checkpoint-style,
+     nothing search-volume-sized is ever stored in HBM;
+  B. assembly backward: distance -> selected-window cotangents g_acc and
+     the corner-weight grads g_th/g_tw (needs the recomputed CC/X values);
+  C. selection/product backward: spread g_acc over the dense shift domain
+     with the transposed one-hot masks, transpose the ps x ps tap-sum as
+     9 shifted adds, and accumulate window grads for v0, the phase images
+     (g_ast) and the X fields (g_xst);
+  D/E. X-field and phase-image build backward (linear, static slices);
+  F. read-modify-write DMA of the window grads into the full g_v0e/g_v1p
+     HBM buffers (input_output_aliased zeros). TPU Pallas grids execute
+     sequentially, so the RMW accumulation is race-free — this is the
+     deterministic replacement for the reference's atomicAdd backward
+     (lib/csrc/search/nls_bilin2d.cu:171-180, shared_kernel.cu:918-1053).
+
+Only stride0 == 1 is supported here (the tap-sum transpose for strided
+query grids needs interior-padded writes Mosaic can't express yet);
+callers fall back to the autodiff'd lattice engine otherwise.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stnls_tpu.ops.nls import dist_type_select
+from stnls_tpu.ops.nls_pallas import (
+    kernel_dims, _hat, _hat_weights_scalar, _tapsum_to_queries,
+    _corner_terms,
+)
+
+
+def bwd_supported(cfg):
+    return cfg["stride0"] == 1
+
+
+def _make_bwd_kernel(cfg):
+    m, su, Sp, ZL, ZLc = (cfg["m"], cfg["su"], cfg["Sp"], cfg["ZL"],
+                          cfg["ZLc"])
+    taps, t0s = cfg["taps"], cfg["t0s"]
+    ws, stride0 = cfg["ws"], cfg["stride0"]
+    assert stride0 == 1
+    TH, TW, F = cfg["TH"], cfg["TW"], cfg["F"]
+    H, W = cfg["H"], cfg["W"]
+    pad0 = cfg["pad0"]
+    s1 = float(cfg["stride1"])
+    wmodw = cfg["wmodw"]
+    cbase = cfg["cbase"]
+    dm = kernel_dims(cfg)
+    (TPH, TPW, TPHx, TPWx, RH, RW, AH, AW, XFH, XFW) = (
+        dm["TPH"], dm["TPW"], dm["TPHx"], dm["TPWx"], dm["RH"], dm["RW"],
+        dm["AH"], dm["AW"], dm["XFH"], dm["XFW"])
+    r_need, s_need = dm["r_need"], dm["s_need"]
+    NR, NS = dm["NR"], dm["NS"]
+    r_pos = {r: i for i, r in enumerate(r_need)}
+    s_pos = {sv: i for i, sv in enumerate(s_need)}
+    x_es, nX, nfam = dm["x_es"], dm["nX"], dm["nfam"]
+    dist_is_l2, is_int = dm["dist_is_l2"], dm["is_int"]
+    ncr, cc_terms, x_terms = _corner_terms(is_int, dist_is_l2)
+    tapsum = functools.partial(_tapsum_to_queries, taps=taps, t0s=t0s,
+                               TH=TH, TW=TW, stride0=stride0)
+
+    def tapsum_T(gq, out_h, out_w):
+        """Transpose of the tap-sum: scatter [TH, TW] into a zero
+        [out_h, out_w] pixel field at the 9 static tap offsets."""
+        acc = None
+        for a in taps:
+            ia = a + t0s
+            for b in taps:
+                ib = b + t0s
+                v = jnp.pad(gq, ((ia, out_h - TH - ia),
+                                 (ib, out_w - TW - ib)))
+                acc = v if acc is None else acc + v
+        return acc
+
+    def kernel(scal_ref, g_ref, v0_ref, v1_ref, gv0z_ref, gv1z_ref,
+               l0h_ref, l0w_ref, th_ref, tw_ref,
+               ctrh_ref, ctrw_ref, offh_ref, offw_ref,
+               gv0_ref, gv1_ref, gth_ref, gtw_ref,
+               v0w_ref, rawscr_ref, bst_ref, ast_ref, xst_ref, acc_ref,
+               gv0w_ref, gast_ref, gxst_ref, gacc_ref,
+               sem0, sem1, sem2, sem3):
+        # buffer reuse (VMEM is tight): raw doubles as g_raw and bst as
+        # g_bst — both are dead once the phase images are built.
+        graw_ref = rawscr_ref
+        gbst_ref = bst_ref
+        del gv0z_ref, gv1z_ref
+        bh = pl.program_id(0)
+        p = pl.program_id(1)
+        t = pl.program_id(2)
+        ti = scal_ref[bh, p, t, 2]
+        tj = scal_ref[bh, p, t, 3]
+        tyv = scal_ref[bh, p, t, 4]   # global v0 row origin (band-aware)
+        r0 = scal_ref[bh, p, t, 0]
+        wmodh = scal_ref[bh, p, t, 1]
+
+        # ---------------- A. recompute forward state ----------------
+        cp0 = pltpu.make_async_copy(
+            v0_ref.at[bh, ti, pl.ds(tyv, TPHx)], v0w_ref, sem0)
+        cp0.start()
+        cp1 = pltpu.make_async_copy(
+            v1_ref.at[bh, tj, pl.ds(r0, RH)], rawscr_ref, sem1)
+        cp1.start()
+        cp0.wait()
+        cp1.wait()
+        c_lo = pad0 - t0s
+        v0w = v0w_ref[:, :, c_lo:c_lo + TPWx]
+
+        for r in r_need:
+            wh = _hat_weights_scalar(wmodh + r, m, (1, 2, 3))
+            acc_b = None
+            for k in (1, 2, 3):
+                v = wh[k - 1] * rawscr_ref[k:k + AH]
+                acc_b = v if acc_b is None else acc_b + v
+            bst_ref[r_pos[r]] = acc_b
+        for r in r_need:
+            for sv in s_need:
+                acc_a = None
+                for c in (0, 1, 2, 3):
+                    w = _hat((wmodw + sv) / float(m) - (c - 1))
+                    if w == 0.0:
+                        continue
+                    v = bst_ref[r_pos[r], :, :, cbase + c:cbase + c + AW]
+                    v = v if w == 1.0 else w * v
+                    acc_a = v if acc_a is None else acc_a + v
+                ast_ref[r_pos[r] * NS + s_pos[sv]] = acc_a
+
+        for ei, e in enumerate(x_es):
+            for r in range(m):
+                for sv in range(m):
+                    a0 = ast_ref[r_pos[r] * NS + s_pos[sv]]
+                    a1 = ast_ref[r_pos[r + e[0]] * NS + s_pos[sv + e[1]]]
+                    prod = jnp.sum(a0 * a1, axis=1)
+                    facc = None
+                    for a in taps:
+                        ia = a + t0s
+                        ya = prod[ia:ia + XFH, :]
+                        for b in taps:
+                            ib = b + t0s
+                            v = ya[:, ib:ib + XFW]
+                            facc = v if facc is None else facc + v
+                    xst_ref[:, (ei * m + r) * m + sv, :] = facc
+
+        l0h = l0h_ref[0, 0, 0]
+        l0w = l0w_ref[0, 0, 0]
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        def fwd_sel_body(zzh, _):
+            for r in range(m):
+                j_h = r + m * zzh
+                selw = [[None] * Sp for _ in range(nfam)]
+                for sv in range(m):
+                    aidx = r * NS + s_pos[sv]
+                    asl = ast_ref[aidx, pl.ds(zzh, TPHx)]
+                    for zzw in range(ZLc):
+                        j_w = sv + m * zzw
+                        a_sl = asl[:, :, zzw:zzw + TPWx]
+                        vals = [tapsum(jnp.sum(v0w * a_sl, axis=1))]
+                        for ei in range(nX):
+                            xidx = (ei * m + r) * m + sv
+                            vals.append(xst_ref[pl.ds(zzh, TPH), xidx,
+                                                zzw:zzw + TPW])
+                        for uw in range(Sp):
+                            mw = (l0w == (j_w - uw)).astype(jnp.float32)
+                            for fam in range(nfam):
+                                v = mw * vals[fam]
+                                cur = selw[fam][uw]
+                                selw[fam][uw] = (v if cur is None
+                                                 else cur + v)
+                for uh in range(Sp):
+                    mh = (l0h == (j_h - uh)).astype(jnp.float32)
+                    for fam in range(nfam):
+                        for uw in range(Sp):
+                            k = (fam * Sp + uh) * Sp + uw
+                            acc_ref[k] += mh * selw[fam][uw]
+            return 0
+
+        lax.fori_loop(0, ZL, fwd_sel_body, 0)
+
+        def accv(fam, uh, uw):
+            return acc_ref[(fam * Sp + uh) * Sp + uw]
+
+        # ---------------- B. assembly backward ----------------
+        th = th_ref[0, 0, 0]
+        tw = tw_ref[0, 0, 0]
+        ctrh = ctrh_ref[0, 0, 0]
+        ctrw = ctrw_ref[0, 0, 0]
+        offh = offh_ref[0, 0, 0]
+        offw = offw_ref[0, 0, 0]
+        whc = (1. - th, th)
+        wvc = (1. - tw, tw)
+        dwh = (-1., 1.)
+        gacc_ref[:] = jnp.zeros_like(gacc_ref)
+        g_th = jnp.zeros((TH, TW), jnp.float32)
+        g_tw = jnp.zeros((TH, TW), jnp.float32)
+        g_ps0 = jnp.zeros((TH, TW), jnp.float32)
+
+        for i in range(ws):
+            ph = ctrh + s1 * (i - offh)
+            vh = jnp.logical_and(ph >= 0., ph <= float(H - 1))
+            for j in range(ws):
+                pw = ctrw + s1 * (j - offw)
+                vw = jnp.logical_and(pw >= 0., pw <= float(W - 1))
+                valid = jnp.logical_and(vh, vw)
+                gm = jnp.where(valid, g_ref[0, 0, 0, i * ws + j], 0.)
+                oh, ow = su * i, su * j
+                if dist_is_l2:
+                    g_ps0 = g_ps0 + gm
+                sgn = -2. if dist_is_l2 else 1.
+                for (ch, cw) in cc_terms:
+                    k = (0 * Sp + oh + ch) * Sp + ow + cw
+                    if is_int:
+                        gacc_ref[k] += sgn * gm
+                    else:
+                        gacc_ref[k] += sgn * whc[ch] * wvc[cw] * gm
+                        ccv = accv(0, oh + ch, ow + cw)
+                        g_th = g_th + sgn * dwh[ch] * wvc[cw] * ccv * gm
+                        g_tw = g_tw + sgn * whc[ch] * dwh[cw] * ccv * gm
+                if dist_is_l2:
+                    for (ch, cw, ch2, cw2, c_use, fam) in x_terms:
+                        k = (fam * Sp + oh + c_use[0]) * Sp + ow + c_use[1]
+                        if is_int:
+                            gacc_ref[k] += gm
+                        else:
+                            w4 = whc[ch] * wvc[cw] * whc[ch2] * wvc[cw2]
+                            gacc_ref[k] += w4 * gm
+                            xv = accv(fam, oh + c_use[0], ow + c_use[1])
+                            dth = (dwh[ch] * wvc[cw] * whc[ch2] * wvc[cw2]
+                                   + whc[ch] * wvc[cw] * dwh[ch2] * wvc[cw2])
+                            dtw = (whc[ch] * dwh[cw] * whc[ch2] * wvc[cw2]
+                                   + whc[ch] * wvc[cw] * whc[ch2] * dwh[cw2])
+                            g_th = g_th + dth * xv * gm
+                            g_tw = g_tw + dtw * xv * gm
+        gth_ref[0, 0, 0] = g_th
+        gtw_ref[0, 0, 0] = g_tw
+
+        # ---------------- C. selection / product backward ----------------
+        gv0w_ref[:] = jnp.zeros_like(gv0w_ref)
+        gast_ref[:] = jnp.zeros_like(gast_ref)
+        gxst_ref[:] = jnp.zeros_like(gxst_ref)
+
+        def bwd_sel_body(zzh, _):
+            for r in range(m):
+                j_h = r + m * zzh
+                # row-selected cotangents per (fam, uw)
+                grow = [[None] * Sp for _ in range(nfam)]
+                for uh in range(Sp):
+                    mh = (l0h == (j_h - uh)).astype(jnp.float32)
+                    for fam in range(nfam):
+                        for uw in range(Sp):
+                            k = (fam * Sp + uh) * Sp + uw
+                            v = mh * gacc_ref[k]
+                            cur = grow[fam][uw]
+                            grow[fam][uw] = v if cur is None else cur + v
+                for sv in range(m):
+                    aidx = r * NS + s_pos[sv]
+                    asl = ast_ref[aidx, pl.ds(zzh, TPHx)]
+                    for zzw in range(ZLc):
+                        j_w = sv + m * zzw
+                        gcc = None
+                        gxs = [None] * nX
+                        for uw in range(Sp):
+                            mw = (l0w == (j_w - uw)).astype(jnp.float32)
+                            v = mw * grow[0][uw]
+                            gcc = v if gcc is None else gcc + v
+                            for ei in range(nX):
+                                vx = mw * grow[1 + ei][uw]
+                                gxs[ei] = vx if gxs[ei] is None \
+                                    else gxs[ei] + vx
+                        # CC backward: transpose tap-sum, then product rule
+                        gp = tapsum_T(gcc, TPHx, TPWx)[:, None, :]
+                        a_sl = asl[:, :, zzw:zzw + TPWx]
+                        gv0w_ref[:, :, c_lo:c_lo + TPWx] += gp * a_sl
+                        gprev = gast_ref[aidx, pl.ds(zzh, TPHx), :,
+                                         zzw:zzw + TPWx]
+                        gast_ref[aidx, pl.ds(zzh, TPHx), :,
+                                 zzw:zzw + TPWx] = gprev + gp * v0w
+                        # X backward into the field cotangent
+                        for ei in range(nX):
+                            xidx = (ei * m + r) * m + sv
+                            gxp = gxst_ref[pl.ds(zzh, TPH), xidx,
+                                           zzw:zzw + TPW]
+                            gxst_ref[pl.ds(zzh, TPH), xidx,
+                                     zzw:zzw + TPW] = gxp + gxs[ei]
+            return 0
+
+        lax.fori_loop(0, ZL, bwd_sel_body, 0)
+
+        # ---------------- D. X-field backward ----------------
+        for ei, e in enumerate(x_es):
+            for r in range(m):
+                for sv in range(m):
+                    gfe = gxst_ref[:, (ei * m + r) * m + sv, :]
+                    # transpose of the field tap-sum
+                    gxe = None
+                    for a in taps:
+                        ia = a + t0s
+                        for b in taps:
+                            ib = b + t0s
+                            v = jnp.pad(gfe, ((ia, AH - XFH - ia),
+                                              (ib, AW - XFW - ib)))
+                            gxe = v if gxe is None else gxe + v
+                    gxe = gxe[:, None, :]
+                    i0 = r_pos[r] * NS + s_pos[sv]
+                    i1 = r_pos[r + e[0]] * NS + s_pos[sv + e[1]]
+                    a0 = ast_ref[i0]
+                    a1 = ast_ref[i1]
+                    gast_ref[i0] += gxe * a1
+                    if i1 == i0:
+                        gast_ref[i0] += gxe * a0
+                    else:
+                        gast_ref[i1] += gxe * a0
+
+        # ps0 backward
+        if dist_is_l2:
+            gp0 = tapsum_T(g_ps0, TPHx, TPWx)[:, None, :]
+            gv0w_ref[:, :, c_lo:c_lo + TPWx] += 2. * gp0 * v0w
+
+        # ---------------- E. phase-image build backward ----------------
+        gbst_ref[:] = jnp.zeros_like(gbst_ref)
+        for r in r_need:
+            for sv in s_need:
+                ga = gast_ref[r_pos[r] * NS + s_pos[sv]]
+                for c in (0, 1, 2, 3):
+                    w = _hat((wmodw + sv) / float(m) - (c - 1))
+                    if w == 0.0:
+                        continue
+                    v = ga if w == 1.0 else w * ga
+                    gbst_ref[r_pos[r], :, :,
+                             cbase + c:cbase + c + AW] += v
+        graw_ref[:] = jnp.zeros_like(graw_ref)
+        for r in r_need:
+            wh = _hat_weights_scalar(wmodh + r, m, (1, 2, 3))
+            gb = gbst_ref[r_pos[r]]
+            for k in (1, 2, 3):
+                graw_ref[k:k + AH] += wh[k - 1] * gb
+
+        # ---------------- F. RMW accumulation into HBM ----------------
+        def rmw(hbm_at, local_ref, tmp_shape, sem_a, sem_b):
+            def inner(tmp):
+                rd = pltpu.make_async_copy(hbm_at, tmp, sem_a)
+                rd.start()
+                rd.wait()
+                tmp[:] = tmp[:] + local_ref[:]
+                wr = pltpu.make_async_copy(tmp, hbm_at, sem_b)
+                wr.start()
+                wr.wait()
+            pl.run_scoped(inner, pltpu.VMEM(tmp_shape, jnp.float32))
+
+        rmw(gv0_ref.at[bh, ti, pl.ds(tyv, TPHx)], gv0w_ref,
+            (TPHx, F, gv0w_ref.shape[-1]), sem2, sem3)
+        rmw(gv1_ref.at[bh, tj, pl.ds(r0, RH)], graw_ref,
+            (RH, F, RW), sem2, sem3)
+
+    return kernel, dm
+
+
+def vol_bwd_pallas(cfg, interpret, g, v0e, v1p, scal, l0h, l0w, th, tw,
+                   ctrh, ctrw, offh, offw):
+    """Returns (g_v0e, g_v1p, g_th, g_tw)."""
+    BH, P, nT = scal.shape[:3]
+    TH, TW, F = cfg["TH"], cfg["TW"], cfg["F"]
+    ws = cfg["ws"]
+    kernel, dm = _make_bwd_kernel(cfg)
+    qspec = pl.BlockSpec((1, 1, 1, TH, TW),
+                         lambda bh, p, t, *_: (bh, p, t, 0, 0),
+                         memory_space=pltpu.VMEM)
+    gspec = pl.BlockSpec((1, 1, 1, ws * ws, TH, TW),
+                         lambda bh, p, t, *_: (bh, p, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(BH, P, nT),
+        in_specs=[gspec, any_spec, any_spec, any_spec, any_spec,
+                  qspec, qspec, qspec, qspec, qspec, qspec, qspec, qspec],
+        out_specs=(any_spec, any_spec,
+                   pl.BlockSpec((1, 1, 1, TH, TW),
+                                lambda bh, p, t, *_: (bh, p, t, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, 1, TH, TW),
+                                lambda bh, p, t, *_: (bh, p, t, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((dm["TPHx"], F, v0e.shape[-1]), jnp.float32),
+            pltpu.VMEM((dm["RH"], F, dm["RW"]), jnp.float32),
+            pltpu.VMEM((dm["NR"], dm["AH"], F, dm["RW"]), jnp.float32),
+            pltpu.VMEM((dm["NR"] * dm["NS"], dm["AH"], F, dm["AW"]),
+                       jnp.float32),
+            pltpu.VMEM((dm["XFH"], dm["NXST"], dm["XFW"]), jnp.float32),
+            pltpu.VMEM((dm["nfam"] * cfg["Sp"] * cfg["Sp"], TH, TW),
+                       jnp.float32),
+            pltpu.VMEM((dm["TPHx"], F, v0e.shape[-1]), jnp.float32),
+            pltpu.VMEM((dm["NR"] * dm["NS"], dm["AH"], F, dm["AW"]),
+                       jnp.float32),
+            pltpu.VMEM((dm["XFH"], dm["NXST"], dm["XFW"]), jnp.float32),
+            pltpu.VMEM((dm["nfam"] * cfg["Sp"] * cfg["Sp"], TH, TW),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ])
+    out_shape = (
+        jax.ShapeDtypeStruct(v0e.shape, jnp.float32),
+        jax.ShapeDtypeStruct(v1p.shape, jnp.float32),
+        jax.ShapeDtypeStruct((BH, P, nT, TH, TW), jnp.float32),
+        jax.ShapeDtypeStruct((BH, P, nT, TH, TW), jnp.float32),
+    )
+    gv0_zero = jnp.zeros(v0e.shape, jnp.float32)
+    gv1_zero = jnp.zeros(v1p.shape, jnp.float32)
+    # inputs (after the scalar-prefetch arg): index 1 = g, 2 = v0e, 3 = v1p,
+    # 4 = gv0_zero, 5 = gv1_zero -> aliased onto outputs 0, 1
+    g_v0e, g_v1p, g_th_t, g_tw_t = pl.pallas_call(
+        kernel, out_shape=out_shape, grid_spec=grid_spec,
+        input_output_aliases={4: 0, 5: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(scal, g.astype(jnp.float32), v0e, v1p, gv0_zero, gv1_zero,
+      l0h, l0w, th, tw, ctrh, ctrw, offh, offw)
+    # g_th arrives per-(pair, tile); the fwd consumed th in the same tiled
+    # layout, so return as-is.
+    return g_v0e, g_v1p, g_th_t, g_tw_t

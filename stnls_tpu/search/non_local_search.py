@@ -150,14 +150,126 @@ def _use_cv_path(cfg, vid_shape):
     return ok
 
 
+def _use_pallas_path(cfg, vid_shape):
+    from stnls_tpu.ops.nls_pallas import pallas_supported
+    impl = cfg.get("impl", "auto")
+    if impl not in ("auto", "pallas"):
+        return False
+    if impl == "auto":
+        # default fast path on TPU only; the jnp engines stay the
+        # reference/fallback everywhere else. Flows beyond flow_budget /
+        # spread_budget degrade to invalid-marked entries (outliers), so
+        # auto keeps generous defaults.
+        import jax
+        if jax.default_backend() != "tpu":
+            return False
+        if cfg["stride0"] != 1:
+            return False   # pallas bwd needs stride0==1; stay on lattice
+    H, W = vid_shape[-2:]
+    ok = (pallas_supported(itype=cfg["itype"], pt=cfg["pt"],
+                           stride1=cfg["stride1"],
+                           reflect_bounds=cfg["reflect_bounds"],
+                           ws=cfg["ws"], ps=cfg["ps"],
+                           dilation=cfg["dilation"], off_Hq=cfg["off_Hq"],
+                           off_Wq=cfg["off_Wq"], H=H, W=W,
+                           stride0=cfg["stride0"], strideQ=cfg["strideQ"])
+          and cfg["ws_interior"] <= 0)
+    if impl == "pallas":
+        assert ok, "pallas impl unsupported for this config"
+    return ok
+
+
+def _pick_n_bands(cfg, vid_shape, nH):
+    """Streaming band count: explicit cfg["qchunk"] (query rows per band)
+    or auto so one band's search volume (+3x inds) stays under ~512 MB —
+    the reference never materializes the volume at all
+    (non_local_search_int_kernel.cu:208-223); banding + per-band top-K is
+    the TPU equivalent (SURVEY hard part #5)."""
+    B, HD, T, F, H, W = vid_shape
+    nW = (W - 1) // cfg["stride0"] + 1
+    qchunk = cfg.get("qchunk", None)
+    if qchunk:
+        n_bands = max(1, nH // int(qchunk))
+    else:
+        W_t = min(2 * cfg["wt"] + 1, T)
+        band_bytes = 16 * B * HD * T * W_t * cfg["ws"] ** 2 * nH * nW
+        n_bands = -(-band_bytes // (512 * 1024 * 1024))
+    while nH % n_bands:
+        n_bands += 1
+    return int(n_bands)
+
+
+def _pallas_banded(vid0, vid1, flows, cfg, n_bands):
+    """Memory-bounded streaming search: lax.map over query-row bands;
+    each band runs the fused kernel + self_action + top-K, so only
+    1/n_bands of the search volume ever exists at once."""
+    from stnls_tpu.ops.nls_pallas import nls_pallas_volume, pallas_pad_vids
+    B, HD, T, F, H, W = vid0.shape
+    nH = flows.shape[-2]
+    nW = flows.shape[-1]
+    rows = nH // n_bands
+    kw = dict(ws=cfg["ws"], wt=cfg["wt"], ps=cfg["ps"],
+              stride0=cfg["stride0"], stride1=cfg["stride1"],
+              dist_type=cfg["dist_type"], dilation=cfg["dilation"],
+              full_ws=cfg["full_ws"], use_adj=cfg["use_adj"],
+              itype=cfg["itype"],
+              flow_budget=cfg.get("flow_budget", 8),
+              spread_budget=cfg.get("spread_budget", 8),
+              tile=cfg.get("cv_tile", None))
+    pv = pallas_pad_vids(vid0, vid1, ws=cfg["ws"], ps=cfg["ps"],
+                         stride1=cfg["stride1"], dilation=cfg["dilation"],
+                         flow_budget=cfg.get("flow_budget", 8),
+                         spread_budget=cfg.get("spread_budget", 8),
+                         use_adj=cfg["use_adj"], itype=cfg["itype"])
+    # [B,HD,T,St,2,nH,nW] -> [n_bands, B,HD,T,St,2,rows,nW]
+    fb = jnp.moveaxis(
+        flows.reshape(flows.shape[:5] + (n_bands, rows, nW)), 5, 0)
+    row0s = jnp.arange(n_bands, dtype=jnp.int32) * rows
+
+    def body(xs):
+        band_flows, r0 = xs
+        d, i3, _ = nls_pallas_volume(vid0, vid1, band_flows, row0=r0,
+                                     padded_vids=pv, **kw)
+        return _self_action_topk(
+            d, i3, self_action=cfg["self_action"],
+            topk_mode=cfg["topk_mode"], k=cfg["k"], wt=cfg["wt"],
+            dist_type=cfg["dist_type"])
+
+    d_b, i_b = jax.lax.map(body, (fb, row0s))
+    # [n_bands, B,HD,T,rows,nW,K] -> [B,HD,T,nH,nW,K]
+    dists = jnp.moveaxis(d_b, 0, 3).reshape(
+        d_b.shape[1:4] + (nH, nW) + d_b.shape[6:])
+    inds = jnp.moveaxis(i_b, 0, 3).reshape(
+        i_b.shape[1:4] + (nH, nW) + i_b.shape[6:])
+    return dists, inds
+
+
 def nls_pipeline(vid0, vid1, flows, cfg):
     """Full forward: search volume -> self_action -> top-K.
 
-    Three equivalent volume implementations: the general lattice engine,
-    the warp-decomposition fast path (ops/nls_warp.py), and the dense
+    Four equivalent volume implementations: the fused Pallas TPU kernel
+    (ops/nls_pallas.py; default on TPU), the general lattice engine, the
+    warp-decomposition fast path (ops/nls_warp.py), and the dense
     correlation-volume path (ops/nls_cv.py; opt-in impl="cv");
-    cfg["impl"] in {"auto","warp","lattice","cv"} forces."""
-    if _use_cv_path(cfg, vid0.shape):
+    cfg["impl"] in {"auto","pallas","warp","lattice","cv"} forces.
+    Large frames stream over query-row bands (memory-bounded, per-band
+    top-K) instead of materializing the full search volume."""
+    if _use_pallas_path(cfg, vid0.shape):
+        from stnls_tpu.ops.nls_pallas import nls_pallas_volume
+        nH = flows.shape[-2] if flows.ndim >= 7 else vid0.shape[-2]
+        n_bands = _pick_n_bands(cfg, vid0.shape, nH)
+        if n_bands > 1 and cfg["topk_mode"] != "none" and cfg["k"] > 0:
+            return _pallas_banded(vid0, vid1, flows, cfg, n_bands)
+        dists, inds3, _ = nls_pallas_volume(
+            vid0, vid1, flows, ws=cfg["ws"], wt=cfg["wt"], ps=cfg["ps"],
+            stride0=cfg["stride0"], stride1=cfg["stride1"],
+            dist_type=cfg["dist_type"], dilation=cfg["dilation"],
+            full_ws=cfg["full_ws"], use_adj=cfg["use_adj"],
+            itype=cfg["itype"],
+            flow_budget=cfg.get("flow_budget", 8),
+            spread_budget=cfg.get("spread_budget", 8),
+            tile=cfg.get("cv_tile", None))
+    elif _use_cv_path(cfg, vid0.shape):
         from stnls_tpu.ops.nls_cv import nls_cv_volume
         dists, inds3, _ = nls_cv_volume(
             vid0, vid1, flows, ws=cfg["ws"], wt=cfg["wt"], ps=cfg["ps"],
@@ -245,7 +357,7 @@ class NonLocalSearch:
                  full_ws=True, use_adj=False, normalize_bwd=False, k_agg=-1,
                  off_Hq=0, off_Wq=0, strideQ=None, itype="float",
                  impl="auto", flow_budget=8, cv_tile=None,
-                 spread_budget=4):
+                 spread_budget=4, qchunk=None):
         self.cfg = dict(
             ws=ws, wt=wt, ps=ps, k=k, nheads=nheads, stride0=stride0,
             stride1=stride1, dist_type=dist_type, dilation=dilation, pt=pt,
@@ -254,7 +366,7 @@ class NonLocalSearch:
             full_ws=full_ws, use_adj=use_adj, normalize_bwd=normalize_bwd,
             k_agg=k_agg, off_Hq=off_Hq, off_Wq=off_Wq, strideQ=strideQ,
             itype=itype, impl=impl, flow_budget=flow_budget,
-            cv_tile=cv_tile, spread_budget=spread_budget)
+            cv_tile=cv_tile, spread_budget=spread_budget, qchunk=qchunk)
         for key, val in self.cfg.items():
             setattr(self, key, val)
         self._fn = _make_grad_policy_fn(self.cfg)
@@ -315,7 +427,8 @@ def extract_config(cfg, restrict=True):
              "self_action": None, "use_adj": False,
              "normalize_bwd": False, "k_agg": -1, "topk_mode": "all",
              "off_Hq": 0, "off_Wq": 0, "strideQ": None, "itype": "float",
-             "impl": "auto", "flow_budget": 8}
+             "impl": "auto", "flow_budget": 8, "spread_budget": 8,
+             "qchunk": None}
     return extract_pairs(cfg, pairs, restrict=restrict)
 
 

@@ -1,0 +1,169 @@
+"""Fused Pallas search kernel (interpret mode) vs the lattice engine:
+forward volumes and full gradients must match on the shared configs
+(flows kept inside flow_budget/spread_budget so no outliers fire)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from stnls_tpu.ops.nls import nls_search_volume
+from stnls_tpu.ops.nls_pallas import nls_pallas_volume, pallas_supported
+
+
+def make_data(B=1, HD=2, T=3, F=4, H=16, W=16, wt=1, stride0=1, seed=0,
+              fmax=3.0):
+    rng = np.random.default_rng(seed)
+    vid0 = jnp.asarray(rng.standard_normal((B, HD, T, F, H, W)), jnp.float32)
+    vid1 = jnp.asarray(rng.standard_normal((B, HD, T, F, H, W)), jnp.float32)
+    W_t = min(2 * wt + 1, T)
+    nH = (H - 1) // stride0 + 1
+    nW = (W - 1) // stride0 + 1
+    flows = jnp.asarray(
+        fmax * (2 * rng.random((B, HD, T, W_t - 1, 2, nH, nW)) - 1),
+        jnp.float32)
+    return vid0, vid1, flows
+
+
+CONFIGS = [
+    dict(ws=3, wt=1, ps=1, stride0=1, stride1=1, dist_type="l2",
+         itype="float"),
+    dict(ws=3, wt=1, ps=3, stride0=1, stride1=1, dist_type="l2",
+         itype="float"),
+    dict(ws=5, wt=1, ps=3, stride0=1, stride1=1, dist_type="prod",
+         itype="float"),
+    dict(ws=3, wt=1, ps=3, stride0=1, stride1=0.5, dist_type="l2",
+         itype="float"),
+    dict(ws=3, wt=1, ps=3, stride0=1, stride1=0.5, dist_type="prod",
+         itype="float"),
+    dict(ws=3, wt=0, ps=3, stride0=2, stride1=1, dist_type="l2",
+         itype="float"),
+    dict(ws=3, wt=1, ps=2, stride0=1, stride1=2, dist_type="l2",
+         itype="float"),
+    dict(ws=3, wt=1, ps=3, stride0=1, stride1=1, dist_type="l2",
+         itype="int"),
+    dict(ws=3, wt=1, ps=3, stride0=1, stride1=1, dist_type="prod",
+         itype="int"),
+    dict(ws=3, wt=1, ps=3, stride0=1, stride1=1, dist_type="l2",
+         itype="float", dilation=2),
+    dict(ws=4, wt=1, ps=3, stride0=1, stride1=1, dist_type="l2",
+         itype="float", full_ws=False),
+]
+
+
+# interpret mode is slow; keep a representative subset in the default run
+# and mark the rest slow (full set runs on-chip via the verify recipe)
+FAST_SET = (0, 3, 7)
+
+
+@pytest.mark.parametrize("cfg", [
+    pytest.param(c, marks=() if i in FAST_SET else (pytest.mark.slow,))
+    for i, c in enumerate(CONFIGS)])
+def test_pallas_matches_lattice(cfg):
+    cfg = dict(cfg)
+    assert pallas_supported(
+        itype=cfg["itype"], pt=1, stride1=cfg["stride1"],
+        reflect_bounds=True, ws=cfg["ws"], ps=cfg["ps"],
+        dilation=cfg.get("dilation", 1), off_Hq=0, off_Wq=0, H=16, W=16,
+        stride0=cfg["stride0"], strideQ=None)
+    vid0, vid1, flows = make_data(wt=cfg["wt"], stride0=cfg["stride0"])
+    d_ref, i_ref = nls_search_volume(vid0, vid1, flows, **cfg)
+    d_p, i_p, outl = nls_pallas_volume(vid0, vid1, flows, flow_budget=5,
+                                       **cfg)
+    assert not bool(jnp.any(outl)), "test flows must stay inside budget"
+    dr = np.asarray(d_ref)
+    dp = np.asarray(d_p)
+    np.testing.assert_array_equal(np.isfinite(dr), np.isfinite(dp))
+    mfin = np.isfinite(dr)
+    np.testing.assert_allclose(dp[mfin], dr[mfin], rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(i_p), np.asarray(i_ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+GRAD_CONFIGS = [
+    dict(ws=3, wt=1, ps=3, stride0=1, stride1=1, dist_type="l2",
+         itype="float"),
+    dict(ws=3, wt=1, ps=3, stride0=1, stride1=0.5, dist_type="l2",
+         itype="float"),
+    dict(ws=3, wt=1, ps=2, stride0=1, stride1=0.5, dist_type="prod",
+         itype="float"),
+]
+
+
+@pytest.mark.parametrize("cfg", [
+    pytest.param(c, marks=() if i == 0 else (pytest.mark.slow,))
+    for i, c in enumerate(GRAD_CONFIGS)])
+def test_pallas_gradients_match_lattice(cfg):
+    """vid0/vid1/flow grads of the Pallas custom VJP vs autodiff of the
+    lattice engine (the reference for all backward semantics)."""
+    cfg = dict(cfg)
+    rng = np.random.default_rng(3)
+    B, HD, T, F, H, W = 1, 1, 2, 4, 12, 12
+    vid0 = jnp.asarray(rng.standard_normal((B, HD, T, F, H, W)), jnp.float32)
+    vid1 = jnp.asarray(rng.standard_normal((B, HD, T, F, H, W)), jnp.float32)
+    W_t = min(2 * cfg["wt"] + 1, T)
+    flows = jnp.asarray(
+        2.0 * (2 * rng.random((B, HD, T, W_t - 1, 2, H, W)) - 1) + 0.25,
+        jnp.float32)
+    gd = jnp.asarray(rng.standard_normal(
+        (B, HD, T, W_t, cfg["ws"], cfg["ws"], H, W)), jnp.float32)
+
+    def loss_ref(v0, v1, fl):
+        d, _ = nls_search_volume(v0, v1, fl, **cfg)
+        return jnp.sum(jnp.where(jnp.isfinite(d), d, 0.) * gd)
+
+    def loss_pal(v0, v1, fl):
+        d, _, _ = nls_pallas_volume(v0, v1, fl, flow_budget=4, **cfg)
+        return jnp.sum(jnp.where(jnp.isfinite(d), d, 0.) * gd)
+
+    gr = jax.grad(loss_ref, (0, 1, 2))(vid0, vid1, flows)
+    gp = jax.grad(loss_pal, (0, 1, 2))(vid0, vid1, flows)
+    for name, a, b in zip(("g_vid0", "g_vid1", "g_flows"), gr, gp):
+        a, b = np.asarray(a), np.asarray(b)
+        err = np.max(np.abs(a - b) / (np.abs(a) + 1.0))
+        assert err < 5e-4, f"{name}: {err:.2e}"
+
+
+def test_pallas_banded_streaming_matches_full():
+    """The memory-bounded band-streaming pipeline (qchunk) must equal the
+    lattice pipeline bit-for-bit in dists/inds ordering semantics."""
+    from stnls_tpu.search import NonLocalSearch
+    rng = np.random.default_rng(5)
+    B, T, F, H, W = 1, 3, 4, 16, 16
+    HD, ws, wt, ps, K = 1, 3, 1, 3, 5
+    vid0 = jnp.asarray(rng.standard_normal((B, T, HD * F, H, W)),
+                       jnp.float32)
+    vid1 = jnp.asarray(rng.standard_normal((B, T, HD * F, H, W)),
+                       jnp.float32)
+    flows = jnp.asarray(
+        2.0 * (2 * rng.random((B, T, 2 * wt, 2, H, W)) - 1), jnp.float32)
+    common = dict(nheads=HD, stride0=1, stride1=1, self_action="anchor",
+                  itype="float")
+    s_ref = NonLocalSearch(ws, wt, ps, K, impl="lattice", **common)
+    s_band = NonLocalSearch(ws, wt, ps, K, impl="pallas", qchunk=8,
+                            **common)
+    d_r, i_r = s_ref(vid0, vid1, flows)
+    d_b, i_b = s_band(vid0, vid1, flows)
+    assert d_b.shape == d_r.shape and i_b.shape == i_r.shape
+    np.testing.assert_allclose(np.asarray(d_b), np.asarray(d_r),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(i_b), np.asarray(i_r),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_pallas_outlier_flagging():
+    """Flows beyond the budget must be flagged, not silently wrong."""
+    cfg = dict(ws=3, wt=1, ps=1, stride0=1, stride1=1, dist_type="l2",
+               itype="float")
+    # NOTE: the center is reflect-bounded before rebasing, so a huge flow
+    # (e.g. 50 px on a 24-wide frame) can fold back NEAR its query and stay
+    # inside budget; use one that lands far away but unreflected.
+    vid0, vid1, flows = make_data(fmax=0.0)
+    flows = flows.at[..., 0, 5, 5].set(11.0)   # past budget, no reflection
+    d, _, outl = nls_pallas_volume(vid0, vid1, flows, flow_budget=4, **cfg)
+    assert bool(jnp.any(outl))
+    # flagged entries carry the init value (+inf for l2)
+    om = np.asarray(outl)[:, :, :, :, None, None]
+    om = np.broadcast_to(om, d.shape)
+    dv = np.asarray(d)
+    assert np.all(~np.isfinite(dv[om]))
