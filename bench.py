@@ -82,11 +82,14 @@ def build():
     bflow = jnp.asarray(smooth_flows(rng, (B, T, 2, H, W)), jnp.float32)
 
     FLOW_BUDGET, SPREAD_BUDGET = 8, 12
+    AGG_BUDGET, AGG_SPREAD = 14, 24
     search = stnls_tpu.search.NonLocalSearch(
         ws, wt, ps, K, nheads=HD, stride0=stride0, stride1=stride1,
         self_action="anchor", itype="float",
         flow_budget=FLOW_BUDGET, spread_budget=SPREAD_BUDGET)
-    gather = stnls_tpu.agg.NonLocalGather(ps=ps, stride0=stride0)
+    gather = stnls_tpu.agg.NonLocalGather(
+        ps=ps, stride0=stride0, budget=AGG_BUDGET, spread=AGG_SPREAD,
+        wt_hint=wt)
 
     # -- exactness guard: the timed kernel must have zero out-of-budget
     # entries (otherwise its fast path would silently degrade); pure jnp
@@ -101,6 +104,24 @@ def build():
     n_outl = int(jnp.sum(outl))
     assert n_outl == 0, f"{n_outl} out-of-budget search entries; bench " \
         "would not be exact — raise flow_budget/spread_budget"
+
+    # -- aggregation exactness guard: run one real search on the projected
+    # video and check its top-K offsets stay inside the gather kernel's
+    # budget/spread (pure jnp prep, no kernel compile) --
+    from stnls_tpu.ops.agg_pallas import agg_pallas_prep
+    from stnls_tpu.search.utils import shape_vids
+    v6 = shape_vids(HD, [jnp.einsum("btchw,cd->btdhw", vid, proj_w)])[0]
+    d_chk, f_chk = search(
+        jnp.einsum("btchw,cd->btdhw", vid, proj_w),
+        jnp.einsum("btchw,cd->btdhw", vid, proj_w), flows_chk)
+    w_chk = jax.nn.softmax(-10. * d_chk, axis=-1)
+    aprep = agg_pallas_prep(
+        v6.shape, w_chk, f_chk, ps=ps, stride0=stride0, dilation=1,
+        use_adj=False, itype="float", budget=AGG_BUDGET, spread=AGG_SPREAD,
+        wt_hint=wt, tile=None)
+    n_aout = int(jnp.sum(aprep["outliers"]))
+    assert n_aout == 0, f"{n_aout} out-of-budget gather edges; raise " \
+        "AGG_BUDGET/AGG_SPREAD"
 
     def attn(v_in, fflow, bflow, s):
         v_in = v_in + s

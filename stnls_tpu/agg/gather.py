@@ -1,11 +1,21 @@
 """NonLocalGather: weighted non-local patch stacking.
 
-API parity with reference lib/stnls/agg/gather.py; compute in
-stnls_tpu.ops.agg.nl_gather_stack (strided-slice adds instead of CUDA
-atomicAdd — see ops/agg.py docstring). Differentiable in vid, weights, and
-(float path) flows via jax.grad, replacing gather_{int,bilin2d}_backward.
+API parity with reference lib/stnls/agg/gather.py. Two compute paths:
+the fused Pallas kernel (ops/agg_pallas.py — dense one-hot shift sweep,
+zero gathers/scatters, VMEM accumulator; default on TPU) and the
+strided-slice jnp engine (ops/agg.py — reference/fallback everywhere).
+Differentiable in vid, weights, and (float path) flows, replacing
+gather_{int,bilin2d}_backward; both paths are deterministic (the CUDA
+atomicAdd backward is not).
+
+The Pallas path aggregates offsets up to `budget` pixels with per-tile
+row spread up to `spread` (out-of-budget edges contribute zero, same
+contract as the search kernel's flow_budget); impl="pallas" forces it,
+impl="jnp" forces the fallback, "auto" picks Pallas on TPU when the
+geometry fits.
 """
 
+import jax
 import jax.numpy as jnp
 
 from stnls_tpu.utils.config import extract_pairs
@@ -13,9 +23,25 @@ from stnls_tpu.ops.agg import nl_gather_stack
 from stnls_tpu.agg.utils import ensure_ndim6, ensure_flow_heads, expand_heads
 
 
+def _pallas_ok(impl, ps, stride0, pt, dilation, reflect_bounds, budget,
+               spread, H, W):
+    from stnls_tpu.ops.agg_pallas import agg_pallas_supported
+    if impl not in ("auto", "pallas"):
+        return False
+    if impl == "auto" and jax.default_backend() != "tpu":
+        return False
+    ok = agg_pallas_supported(ps=ps, stride0=stride0, dilation=dilation,
+                              pt=pt, reflect_bounds_=reflect_bounds,
+                              budget=budget, spread=spread, H=H, W=W)
+    if impl == "pallas":
+        assert ok, "pallas agg unsupported for this config"
+    return ok
+
+
 def non_local_gather(vid, weights, flows, ps=7, stride0=4, pt=1,
                      reflect_bounds=True, dilation=1, use_adj=False,
-                     itype="float"):
+                     itype="float", impl="auto", budget=16, spread=16,
+                     wt_hint=None):
     """vid [B,(HD),T,F,H,W]; weights [B,HD,T,nH,nW,K] or [B,HD,Q,K];
     flows [...,K,3] -> stack [B,HD,K,T,F,H,W]."""
     flows = ensure_flow_heads(flows)
@@ -25,6 +51,22 @@ def non_local_gather(vid, weights, flows, ps=7, stride0=4, pt=1,
     flows = expand_heads(flows, HD)
     if itype == "int":
         flows = jnp.round(flows).astype(jnp.int32)
+    H, W = vid.shape[-2:]
+    B, HD_, T = vid.shape[:3]
+    nH = (H - 1) // stride0 + 1
+    nW = (W - 1) // stride0 + 1
+    K = flows.shape[-2]
+    if _pallas_ok(impl, ps, stride0, pt, dilation, reflect_bounds, budget,
+                  spread, H, W):
+        from stnls_tpu.ops.agg_pallas import nl_gather_stack_pallas
+        weights6 = weights.reshape(B, HD_, T, nH, nW, K)
+        flows7 = flows.reshape(B, HD_, T, nH, nW, K, 3)
+        stack, _ = nl_gather_stack_pallas(
+            vid, weights6, flows7, ps=ps, stride0=stride0, pt=pt,
+            dilation=dilation, reflect_bounds_=reflect_bounds,
+            use_adj=use_adj, itype=itype, budget=budget, spread=spread,
+            wt_hint=wt_hint)
+        return stack
     return nl_gather_stack(
         vid, weights, flows, ps=ps, stride0=stride0, pt=pt,
         dilation=dilation, reflect_bounds_=reflect_bounds, use_adj=use_adj,
@@ -36,7 +78,8 @@ class NonLocalGather:
     flows) (reference gather.py:263-276)."""
 
     def __init__(self, ps=7, stride0=4, pt=1, dilation=1,
-                 reflect_bounds=True, use_adj=False, itype="float"):
+                 reflect_bounds=True, use_adj=False, itype="float",
+                 impl="auto", budget=16, spread=16, wt_hint=None):
         self.ps = ps
         self.stride0 = stride0
         self.pt = pt
@@ -44,11 +87,16 @@ class NonLocalGather:
         self.reflect_bounds = reflect_bounds
         self.use_adj = use_adj
         self.itype = itype
+        self.impl = impl
+        self.budget = budget
+        self.spread = spread
+        self.wt_hint = wt_hint
 
     def __call__(self, vid, weights, flows):
         return non_local_gather(vid, weights, flows, self.ps, self.stride0,
                                 self.pt, self.reflect_bounds, self.dilation,
-                                self.use_adj, self.itype)
+                                self.use_adj, self.itype, self.impl,
+                                self.budget, self.spread, self.wt_hint)
 
     forward = __call__
 
@@ -58,11 +106,14 @@ class NonLocalGather:
 
 def extract_config(cfg, restrict=True):
     pairs = {"ps": 7, "stride0": 4, "pt": 1, "dilation": 1,
-             "reflect_bounds": True, "use_adj": False, "itype": "float"}
+             "reflect_bounds": True, "use_adj": False, "itype": "float",
+             "impl": "auto", "agg_budget": 16, "agg_spread": 16}
     return extract_pairs(cfg, pairs, restrict=restrict)
 
 
 def init(cfg):
     cfg = extract_config(cfg)
     return NonLocalGather(cfg.ps, cfg.stride0, cfg.pt, cfg.dilation,
-                          cfg.reflect_bounds, cfg.use_adj, cfg.itype)
+                          cfg.reflect_bounds, cfg.use_adj, cfg.itype,
+                          impl=cfg.impl, budget=cfg.agg_budget,
+                          spread=cfg.agg_spread)

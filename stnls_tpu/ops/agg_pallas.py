@@ -1,0 +1,443 @@
+"""Fused Pallas TPU kernel for NonLocalGather (weighted patch stacking).
+
+The reference aggregates with one CUDA thread per (query, k): gather the
+K non-local patches and atomicAdd them into the stack
+(lib/csrc/agg/gather_int_kernel.cu:49-92, gather_bilin2d_kernel.cu). XLA
+per-element gathers/scatters are the slowest thing the TPU does (~20 s
+fwd+bwd at the 128^2 bench config, ~2 s for a pure-XLA dense rewrite that
+streams the accumulator through HBM), so this kernel removes indexing
+entirely and keeps the accumulator in VMEM:
+
+  stack[k,t,c,x] = sum_p w_k(x-p) * vid[nl_t, c, reflect(x-p+off_k)+p]
+
+over the bounded shift domain z (|off| <= budget):
+
+  out[k,c,x] += Mtap_k,z[x] * v[tj, c, x+z]        for every z
+  Mtap       = tapsum_p(M),  M_k,z = w_k * D_k * R_k,zh * C_k,zw
+
+with separable one-hot factors (D: temporal offset match; R/C: row/col
+floor-corner matches with the bilinear fractions th/tw folded in, so the
+float path's 4-corner read and its flow gradient come out exactly).
+Everything is dense compare/FMA on the VPU from VMEM — zero gathers, zero
+scatters, deterministic (the reference's atomicAdd backward is not).
+Rows are rebased per tile (oh = min floor row offset over the tile+halo)
+like the search kernel; columns use a global budget-bounded domain.
+
+Offsets are *effective* (nl = reflect(ref + off) first, taps after,
+matching gather_int_kernel.cu:70-76); tap overhang reflects via frame
+padding. Per-tile row spread beyond `spread` rows is flagged `outliers`
+by the wrapper (contributes zero), same contract as ops/nls_pallas.py.
+
+Supported: stride0=1, pt=1, reflect_bounds=True; int + float itype; any
+ps/dilation/use_adj/K. Cross-checked against ops.agg.nl_gather_stack in
+tests/agg/test_agg_pallas.py.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stnls_tpu.ops.geometry import reflect_bounds, num_queries
+
+FLD = {"fh": 0, "fw": 1, "th": 2, "tw": 3, "dt": 4, "w": 5}
+NFLD = 6
+
+
+def agg_pallas_supported(*, ps, stride0, dilation, pt, reflect_bounds_,
+                         budget, spread, H, W):
+    geo = agg_geometry(ps=ps, dilation=dilation, use_adj=False,
+                       budget=budget, spread=spread)
+    return (pt == 1 and reflect_bounds_ and stride0 == 1
+            and geo["padS"] <= min(H, W) - 1)
+
+
+def agg_geometry(*, ps, dilation, use_adj, budget, spread):
+    patch_offset = 0 if use_adj else -(ps // 2)
+    taps = tuple(dilation * (p + patch_offset) for p in range(ps))
+    hh = max(max(taps), -min(taps), 1)
+    R = int(budget)
+    ZL = int(spread) + 2              # row shifts zh in [0, ZL)
+    ZLc = 2 * (R + 1) + 2             # col shifts zwv in [-(R+1), R+2]
+    # single reflect pad must cover the worst row window (oh up to R+1
+    # plus the ZL sweep) and the col domain + tap overhang
+    padS = R + 2 + hh + ZL
+    return dict(taps=taps, hh=hh, R=R, ZL=ZL, ZLc=ZLc, padS=padS,
+                patch_offset=patch_offset)
+
+
+def _colpad(x, lo, hi):
+    pads = [(0, 0)] * (x.ndim - 1) + [(lo, hi)]
+    return jnp.pad(x, pads)
+
+
+def _tapsum_fwd(M, taps, hh, TH):
+    """Mt[x] = sum_p M[x - p]; M [THh, ..., TWp] on query rows with halo
+    hh (rows = axis 0, cols = last axis; queries beyond the grid carry
+    zero weight) -> [TH, ..., TWp]."""
+    acc = None
+    for a in taps:
+        ya = M[hh - a:hh - a + TH]
+        for b in taps:
+            if b == 0:
+                v = ya
+            elif b > 0:
+                v = _colpad(ya[..., :-b], b, 0)
+            else:
+                v = _colpad(ya[..., -b:], 0, -b)
+            acc = v if acc is None else acc + v
+    return acc
+
+
+def _tapsum_bwd(G, taps, hh, THh):
+    """Transpose of _tapsum_fwd: gM[q] = sum_p G[q + p]; G [TH, ..., TWp]
+    -> [THh, ..., TWp]."""
+    TH = G.shape[0]
+    acc = None
+    for a in taps:
+        rows = [(hh + a, THh - TH - hh - a)] + [(0, 0)] * (G.ndim - 1)
+        ya = jnp.pad(G, rows)
+        for b in taps:
+            if b == 0:
+                v = ya
+            elif b > 0:
+                v = _colpad(ya[..., b:], 0, b)
+            else:
+                v = _colpad(ya[..., :b], -b, 0)
+            acc = v if acc is None else acc + v
+    return acc
+
+
+def _corner_masks(fh, ohf, th, is_int):
+    """One-hot corner factors for one axis at (traced) target ohf."""
+    m0 = (fh == ohf).astype(jnp.float32)
+    if is_int:
+        return m0, m0 * 0., m0
+    m1 = (fh == ohf - 1.).astype(jnp.float32)
+    return m0, m1, m0 * (1. - th) + m1 * th
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _make_fwd_kernel(cfg):
+    K, F, TH, TWp = cfg["K8"], cfg["F"], cfg["TH"], cfg["TWp"]
+    ZL, ZLc, R = cfg["ZL"], cfg["ZLc"], cfg["R"]
+    taps, hh, padS = cfg["taps"], cfg["hh"], cfg["padS"]
+    W_t = cfg["W_t"]
+    zt_vals = cfg["zt_vals"]
+    is_int = cfg["is_int"]
+    RH = TH + ZL
+    THh = TH + 2 * hh
+    c0 = padS - (R + 1)
+
+    def kernel(scal_ref, v_ref, fld_ref, out_ref, vw_ref, fw_ref,
+               sem0, sem1):
+        bh = pl.program_id(0)
+        t = pl.program_id(1)
+        ti = pl.program_id(2)
+        r0 = scal_ref[bh, t, ti, 0]
+        oh = scal_ref[bh, t, ti, 1]
+
+        cpf = pltpu.make_async_copy(
+            fld_ref.at[bh, t, pl.ds(ti * TH, THh)], fw_ref, sem1)
+        cpf.start()
+        out_ref[...] = jnp.zeros_like(out_ref)
+        cpf.wait()
+
+        def fld(name):
+            """All-K field slab [THh, K, Wp] — one vector op covers every
+            k (per-k slabs were 10x more, 10x smaller ops)."""
+            return fw_ref[:, FLD[name] * K:FLD[name] * K + K, :]
+
+        for s in range(W_t):
+            tj = scal_ref[bh, t, ti, 2 + s]
+            cpv = pltpu.make_async_copy(
+                v_ref.at[bh, tj, pl.ds(r0, RH)], vw_ref, sem0)
+            cpv.start()
+            ztv = float(zt_vals[s])
+            A = fld("w") * (fld("dt") == ztv).astype(jnp.float32)
+            cpv.wait()
+
+            def zh_body(zh, _):
+                ohf = (oh + zh).astype(jnp.float32)
+                vrows = vw_ref[pl.ds(zh, TH)]          # [TH, F, RW]
+                _, _, rsel = _corner_masks(fld("fh"), ohf,
+                                           None if is_int else fld("th"),
+                                           is_int)
+                Rf = A * rsel                          # [THh, K, Wp]
+                for zw in range(ZLc):
+                    zwv = float(zw - (R + 1))
+                    _, _, csel = _corner_masks(fld("fw"), zwv,
+                                               None if is_int
+                                               else fld("tw"), is_int)
+                    M = Rf * csel
+                    # sparsity skip: each query uses <= 4K corners out of
+                    # the ZL*ZLc swept cells, so most (zh, zw) are empty —
+                    # the expensive FMA is predicated off for them
+                    @pl.when(jnp.max(jnp.abs(M)) > 0.)
+                    def _fma(M=M):
+                        Mt = _tapsum_fwd(M, taps, hh, TH)
+                        vz = vrows[:, :, c0 + zw:c0 + zw + TWp]
+                        out_ref[0, 0, 0] += \
+                            (Mt[:, :, None, :] * vz[:, None, :, :]) \
+                            .reshape(TH, K * F, TWp)
+                return 0
+
+            lax.fori_loop(0, ZL, zh_body, 0)
+
+    return kernel, dict(RH=RH, THh=THh)
+
+
+def _fwd_pallas_call(cfg, v1p, fldp, scal, interpret):
+    BH, T, nT = scal.shape[:3]
+    K, F, TH, TWp = cfg["K8"], cfg["F"], cfg["TH"], cfg["TWp"]
+    kernel, dm = _make_fwd_kernel(cfg)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(BH, T, nT),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, TH, K * F, TWp),
+            lambda bh, t, ti, *_: (bh, t, ti, 0, 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((dm["RH"], F, v1p.shape[-1]), jnp.float32),
+            pltpu.VMEM((dm["THh"], fldp.shape[3], fldp.shape[-1]),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ])
+    out_shape = jax.ShapeDtypeStruct((BH, T, nT, TH, K * F, TWp),
+                                     jnp.float32)
+    return pl.pallas_call(kernel, out_shape=out_shape, grid_spec=grid_spec,
+                          interpret=interpret)(scal, v1p, fldp)
+
+
+# ---------------------------------------------------------------------------
+# wrapper: fields prep -> kernel -> stack layout
+# ---------------------------------------------------------------------------
+
+def _largest_divisor_leq(n, cap):
+    for d in range(min(cap, n), 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
+def agg_pallas_prep(vid_shape, weights, flows, *, ps, stride0, dilation,
+                    use_adj, itype, budget, spread, wt_hint, tile):
+    """Pure-jnp prep: effective offsets, field pack, per-tile rebase,
+    outlier mask. Shared by fwd/bwd wrappers and exactness guards."""
+    B, HD, T, F, H, W = vid_shape
+    K = flows.shape[-2]
+    nH, nW = num_queries(H, W, stride0)
+    assert stride0 == 1 and nH == H and nW == W
+    is_int = (itype == "int")
+    geo = agg_geometry(ps=ps, dilation=dilation, use_adj=use_adj,
+                       budget=budget, spread=spread)
+    R, ZL, hh = geo["R"], geo["ZL"], geo["hh"]
+
+    # K-major fields [B,HD,K,T,H,W]
+    f_km = jnp.transpose(flows, (0, 1, 5, 2, 3, 4, 6))
+    w_km = jnp.transpose(weights, (0, 1, 5, 2, 3, 4)).astype(jnp.float32)
+    r_t = jnp.arange(T, dtype=jnp.int32)[None, None, None, :, None, None]
+    r_h = jnp.arange(H, dtype=jnp.int32)[None, None, None, None, :, None]
+    r_w = jnp.arange(W, dtype=jnp.int32)[None, None, None, None, None, :]
+    dt = reflect_bounds(r_t + jnp.round(f_km[..., 0]).astype(jnp.int32),
+                        T) - r_t
+    if is_int:
+        dh = (reflect_bounds(
+            r_h + jnp.round(f_km[..., 1]).astype(jnp.int32), H)
+            - r_h).astype(jnp.float32)
+        dw = (reflect_bounds(
+            r_w + jnp.round(f_km[..., 2]).astype(jnp.int32), W)
+            - r_w).astype(jnp.float32)
+    else:
+        dh = (reflect_bounds(
+            r_h.astype(jnp.float32) + f_km[..., 1].astype(jnp.float32), H)
+            - r_h).astype(jnp.float32)
+        dw = (reflect_bounds(
+            r_w.astype(jnp.float32) + f_km[..., 2].astype(jnp.float32), W)
+            - r_w).astype(jnp.float32)
+    fh = jnp.floor(lax.stop_gradient(dh))
+    fw = jnp.floor(lax.stop_gradient(dw))
+    th = dh - fh
+    tw = dw - fw
+    if is_int:
+        th = jnp.zeros_like(th)
+        tw = jnp.zeros_like(tw)
+
+    # out-of-budget edges (carry zero weight in-kernel: no one-hot match)
+    out_edge = (jnp.abs(fh) > R) | (jnp.abs(fw) > R)
+
+    # per-tile row rebasing (tile + tap halo rows)
+    if tile is None:
+        TH = _largest_divisor_leq(nH, 8)
+    else:
+        TH = tile
+    assert nH % TH == 0
+    nT = nH // TH
+    BH = B * HD
+    fh_cl = jnp.clip(fh, -(R + 1), R + 1)
+    # min over (K, tile-rows + halo, all cols): pad rows then window-min
+    fh_r = jnp.min(fh_cl, axis=(2, 5))                  # [B,HD,T,H]
+    fh_rp = jnp.pad(fh_r, ((0, 0), (0, 0), (0, 0), (hh, hh)),
+                    constant_values=R + 1)
+    THh = TH + 2 * hh
+    fh_t = jnp.stack([lax.dynamic_slice_in_dim(fh_rp, i * TH, THh, axis=3)
+                      for i in range(nT)], axis=3)      # [B,HD,T,nT,THh]
+    oh = jnp.min(fh_t, axis=-1).astype(jnp.int32)       # [B,HD,T,nT]
+    oh_rows = jnp.repeat(oh.astype(fh_cl.dtype), TH, axis=3)  # [B,HD,T,nH]
+    spill = (fh_cl - oh_rows[:, :, None, :, :, None]) > (ZL - 2)
+    wtm = T - 1 if wt_hint is None else min(int(wt_hint), T - 1)
+    out_t = jnp.abs(dt) > wtm
+    outliers = (out_edge | spill | out_t)               # [B,HD,K,T,H,W]
+
+    prep = dict(geo=geo, is_int=is_int, K=K, TH=TH, nT=nT, BH=BH, T=T,
+                F=F, H=H, W=W, nH=nH, nW=nW, THh=THh,
+                fh=fh, fw=fw, th=th, tw=tw, dt=dt, w=w_km, oh=oh,
+                outliers=outliers, wt_hint=wt_hint)
+    return prep
+
+
+def _pack_fields(prep):
+    """Field pack [BH, T, nH + 2hh, NFLD*K8, Wp]: each field padded to an
+    8-multiple K8 of slots so in-kernel channel slabs are sublane-aligned;
+    zero halo/padding (padded slots carry zero weight)."""
+    H, W = prep["H"], prep["W"]
+    hh = prep["geo"]["hh"]
+    K_ = prep["K"]
+    K8 = -(-K_ // 8) * 8
+    Wp = -(-W // 128) * 128
+    BH, T = prep["BH"], prep["T"]
+    parts = [prep["fh"], prep["fw"], prep["th"], prep["tw"],
+             prep["dt"].astype(jnp.float32), prep["w"]]
+    parts = [jnp.pad(p, ((0, 0), (0, 0), (0, K8 - K_)) + ((0, 0),) * 3)
+             for p in parts]
+    fld = jnp.concatenate(parts, axis=2)   # [B,HD,6*K8,T,H,W]
+    fld = jnp.transpose(fld, (0, 1, 3, 4, 2, 5)) \
+        .reshape(BH, T, H, NFLD * K8, W)
+    fld = jnp.pad(fld, ((0, 0), (0, 0), (hh, hh), (0, 0), (0, Wp - W)))
+    return fld
+
+
+def _pad_value(vid, padS):
+    """[B,HD,T,F,H,W] -> rows-major reflect-padded [BH,T,Hp,Fp,Wp]."""
+    B, HD, T, F, H, W = vid.shape
+    BH = B * HD
+    Fp = -(-F // 8) * 8
+    vp = jnp.pad(vid.astype(jnp.float32),
+                 ((0, 0),) * 4 + ((padS, padS), (padS, padS)),
+                 mode="reflect").reshape(BH, T, F, H + 2 * padS,
+                                         W + 2 * padS)
+    vp = jnp.transpose(vp, (0, 1, 3, 2, 4))
+    # width must cover col reads up to padS + R + 2 + round(W, 128)
+    TWp = -(-W // 128) * 128
+    Wneed = -(-(TWp + 2 * padS) // 128) * 128
+    vp = jnp.pad(vp, ((0, 0), (0, 0), (0, 0), (0, Fp - F),
+                      (0, Wneed - (W + 2 * padS))))
+    return vp
+
+
+def nl_gather_stack_pallas(vid, weights, flows, *, ps, stride0=1, pt=1,
+                           dilation=1, reflect_bounds_=True, use_adj=False,
+                           itype="float", budget=16, spread=16,
+                           wt_hint=None, tile=None, interpret=None,
+                           normalize=True):
+    """NonLocalGather via the fused Pallas kernel. Returns
+    (stack [B,HD,K,T,F,H,W], outliers [B,HD,K,T,H,W])."""
+    B, HD, T, F, H, W = vid.shape
+    assert agg_pallas_supported(ps=ps, stride0=stride0, dilation=dilation,
+                                pt=pt, reflect_bounds_=reflect_bounds_,
+                                budget=budget, spread=spread, H=H, W=W)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    prep = agg_pallas_prep(vid.shape, weights, flows, ps=ps,
+                           stride0=stride0, dilation=dilation,
+                           use_adj=use_adj, itype=itype, budget=budget,
+                           spread=spread, wt_hint=wt_hint, tile=tile)
+    geo = prep["geo"]
+    K, TH, nT, BH = prep["K"], prep["TH"], prep["nT"], prep["BH"]
+    wtm = min(T - 1, T - 1 if wt_hint is None else int(wt_hint))
+    zt_vals = list(range(-wtm, wtm + 1))
+    W_t = len(zt_vals)
+
+    fldp = _pack_fields(prep)
+    v1p = _pad_value(vid, geo["padS"])
+    Fp = v1p.shape[3]
+    TWp = fldp.shape[-1]
+
+    # scal: [BH, T, nT, 2 + W_t] = (r0, oh, tj_s...)
+    ty0 = (jnp.arange(nT, dtype=jnp.int32) * TH)[None, None, :]
+    oh = prep["oh"].reshape(BH, T, nT)
+    r0 = geo["padS"] + ty0 + oh
+    t_idx = jnp.arange(T, dtype=jnp.int32)[None, :, None]
+    tjs = [jnp.broadcast_to(jnp.clip(t_idx + z, 0, T - 1), r0.shape)
+           for z in zt_vals]
+    scal = jnp.stack([r0, oh] + tjs, axis=-1).astype(jnp.int32)
+
+    K8 = -(-K // 8) * 8
+    cfg = dict(geo, K=K, K8=K8, F=Fp, TH=TH, TWp=TWp, W_t=W_t,
+               zt_vals=tuple(zt_vals), is_int=prep["is_int"])
+
+    out_t = _agg_op(_freeze(cfg), bool(interpret), v1p, fldp, scal)
+
+    # [BH, T, nT, TH, K8*Fp, TWp] -> [B,HD,K,T,F,H,W]
+    out = out_t.reshape(BH, T, nT, TH, K8, Fp, TWp)[:, :, :, :, :K, :F, :W]
+    out = jnp.transpose(out, (0, 4, 1, 5, 2, 3, 6)) \
+        .reshape(B, HD, K, T, F, H, W)
+    if normalize:
+        from stnls_tpu.ops.agg import patch_overlap_counts
+        counts = jnp.asarray(
+            patch_overlap_counts(H, W, ps, stride0, dilation, use_adj),
+            vid.dtype)
+        out = out / (counts + 1e-10)
+    return out.astype(vid.dtype), prep["outliers"]
+
+
+class _Frozen:
+    def __init__(self, d):
+        self.d = dict(d)
+        self._key = tuple(sorted(
+            (k, tuple(v) if isinstance(v, (list, tuple)) else v)
+            for k, v in self.d.items()))
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, _Frozen) and self._key == other._key
+
+    def __getitem__(self, k):
+        return self.d[k]
+
+
+def _freeze(cfg):
+    return _Frozen(cfg)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _agg_op(cfg, interpret, v1p, fldp, scal):
+    return _fwd_pallas_call(cfg.d, v1p, fldp, scal, interpret)
+
+
+def _agg_fwd(cfg, interpret, v1p, fldp, scal):
+    out = _fwd_pallas_call(cfg.d, v1p, fldp, scal, interpret)
+    return out, (v1p, fldp, scal)
+
+
+def _agg_bwd(cfg, interpret, res, g):
+    from stnls_tpu.ops.agg_pallas_bwd import agg_bwd_pallas
+    v1p, fldp, scal = res
+    g_v1p, g_fld = agg_bwd_pallas(cfg.d, interpret, g, v1p, fldp, scal)
+    return g_v1p, g_fld, None
+
+
+_agg_op.defvjp(_agg_fwd, _agg_bwd)

@@ -22,12 +22,20 @@ from stnls_tpu.ops.geometry import reflect_bounds, num_queries
 def _sample_flow(flow, h, w, H, W):
     """Bilinear sample `flow` [B,T,2,H,W] at float coords h,w [B,T,nH,nW];
     out-of-bounds corners are reflect-indexed (shared_flows.cu:93-99).
-    Returns (dW, dH) components sampled at (h, w)."""
+    Returns (dW, dH) components sampled at (h, w).
+
+    The gather runs on a 1-D flattened operand with a global index: a
+    multi-dim operand sends XLA-TPU down a scalarized per-element gather
+    (~300 ms at 128^2, see ops/pgather.py); the 1-D form hits the fast
+    path (~0.2 ms)."""
     h0 = jnp.floor(h)
     w0 = jnp.floor(w)
     outW, outH = 0., 0.
     B, T = flow.shape[:2]
-    flat = flow.reshape(B, T, 2, H * W)
+    flat = flow.reshape(-1)
+    bt_off = ((jnp.arange(B, dtype=jnp.int32)[:, None] * T
+               + jnp.arange(T, dtype=jnp.int32)[None, :]) * (2 * H * W))
+    bt_off = bt_off[:, :, None, None]
     for di in (0, 1):
         for dj in (0, 1):
             hc = h0 + di
@@ -36,11 +44,11 @@ def _sample_flow(flow, h, w, H, W):
                    * jnp.maximum(0., 1. - jnp.abs(wc - w)))
             hr = reflect_bounds(hc.astype(jnp.int32), H)
             wr = reflect_bounds(wc.astype(jnp.int32), W)
-            idx = (hr * W + wr).reshape(B, T, -1)
-            fW = jnp.take_along_axis(flat[:, :, 0], idx, axis=2) \
-                .reshape(h.shape)
-            fH = jnp.take_along_axis(flat[:, :, 1], idx, axis=2) \
-                .reshape(h.shape)
+            idx = bt_off + hr * W + wr
+            fW = jnp.take(flat, idx.reshape(-1),
+                          mode="clip").reshape(h.shape)
+            fH = jnp.take(flat, (idx + H * W).reshape(-1),
+                          mode="clip").reshape(h.shape)
             outW = outW + wgt * fW
             outH = outH + wgt * fH
     return outW, outH

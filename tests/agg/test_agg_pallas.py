@@ -1,0 +1,68 @@
+"""Fused Pallas aggregation kernel (interpret mode) vs the jnp gather
+engine: forward stacks and full gradients (vid, weights, flows) must
+match; out-of-budget offsets are flagged, not silently wrong."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from stnls_tpu.ops.agg import nl_gather_stack
+from stnls_tpu.ops.agg_pallas import nl_gather_stack_pallas
+
+
+def make_data(B=1, HD=1, T=3, F=4, H=24, W=24, K=4, wt=2, seed=0, fmax=3.0):
+    rng = np.random.default_rng(seed)
+    vid = jnp.asarray(rng.standard_normal((B, HD, T, F, H, W)), jnp.float32)
+    w = jnp.asarray(rng.random((B, HD, T, H, W, K)), jnp.float32)
+    fl = np.zeros((B, HD, T, H, W, K, 3), np.float32)
+    fl[..., 0] = rng.integers(-wt, wt + 1, fl.shape[:-1])
+    fl[..., 1:] = fmax * (2 * rng.random(fl.shape[:-1] + (2,)) - 1) + 0.25
+    return vid, w, jnp.asarray(fl)
+
+
+@pytest.mark.parametrize("itype,ps", [("int", 1), ("int", 3),
+                                      ("float", 1), ("float", 3)])
+def test_agg_pallas_matches_jnp(itype, ps):
+    vid, w, fl = make_data()
+    ref = nl_gather_stack(vid, w, fl, ps=ps, stride0=1, itype=itype)
+    got, outl = nl_gather_stack_pallas(vid, w, fl, ps=ps, stride0=1,
+                                       itype=itype, budget=4, spread=10)
+    assert not bool(jnp.any(outl))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("itype,ps", [
+    pytest.param("float", 3),
+    pytest.param("int", 3, marks=pytest.mark.slow),
+    pytest.param("float", 1, marks=pytest.mark.slow),
+])
+def test_agg_pallas_gradients(itype, ps):
+    vid, w, fl = make_data(K=3, T=2, wt=1)
+    rng = np.random.default_rng(2)
+    gd = jnp.asarray(rng.standard_normal(
+        (vid.shape[0], vid.shape[1], 3, 2, 4, 24, 24)), jnp.float32)
+
+    def lr(v, ww, f):
+        return jnp.sum(nl_gather_stack(v, ww, f, ps=ps, stride0=1,
+                                       itype=itype) * gd)
+
+    def lp(v, ww, f):
+        out, _ = nl_gather_stack_pallas(v, ww, f, ps=ps, stride0=1,
+                                        itype=itype, budget=4, spread=10)
+        return jnp.sum(out * gd)
+
+    gr = jax.grad(lr, (0, 1, 2))(vid, w, fl)
+    gp = jax.grad(lp, (0, 1, 2))(vid, w, fl)
+    for name, a, b in zip(("vid", "w", "flows"), gr, gp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=5e-4, err_msg=name)
+
+
+def test_agg_pallas_outlier_flagging():
+    vid, w, fl = make_data(fmax=0.0)
+    fl = fl.at[0, 0, 1, 5, 5, 0, 1].set(9.0)   # row offset past budget
+    got, outl = nl_gather_stack_pallas(vid, w, fl, ps=1, stride0=1,
+                                       itype="float", budget=4, spread=10)
+    assert bool(jnp.any(outl))
