@@ -45,6 +45,22 @@ CONFIGS = [
          full_ws=False),
     dict(ws=3, wt=2, ps=1, stride0=1, stride1=1, dist_type="l2", itype="float",
          pt=2),
+    # knob-grid widening (VERDICT r1 #6): dilation, use_adj, strideQ,
+    # query offsets, non-square frames — each vs the naive GT
+    dict(ws=3, wt=1, ps=3, stride0=1, stride1=1, dist_type="l2",
+         itype="float", dilation=2),
+    dict(ws=3, wt=1, ps=3, stride0=1, stride1=1, dist_type="l2",
+         itype="int", dilation=2),
+    dict(ws=3, wt=1, ps=3, stride0=1, stride1=1, dist_type="l2",
+         itype="float", use_adj=True),
+    dict(ws=3, wt=1, ps=2, stride0=1, stride1=1, dist_type="l2",
+         itype="float", strideQ=2),
+    dict(ws=3, wt=1, ps=1, stride0=1, stride1=1, dist_type="l2",
+         itype="float", off_Hq=1, off_Wq=2),
+    dict(ws=3, wt=1, ps=3, stride0=1, stride1=0.5, dist_type="l2",
+         itype="float", HW=(10, 14)),
+    dict(ws=3, wt=1, ps=3, stride0=2, stride1=1, dist_type="prod",
+         itype="int", HW=(14, 10)),
 ]
 
 
@@ -53,8 +69,10 @@ def test_search_matches_gt(cfg):
     cfg = dict(cfg)
     full_ws = cfg.pop("full_ws", True)
     pt = cfg.pop("pt", 1)
+    H, W = cfg.pop("HW", (10, 10))
     T = 4 if pt > 1 else 3
-    vid0, vid1, flows = make_data(T=T, stride0=cfg["stride0"], wt=cfg["wt"],
+    vid0, vid1, flows = make_data(T=T, H=H, W=W, stride0=cfg["stride0"],
+                                  wt=cfg["wt"],
                                   int_flows=(cfg["itype"] == "int"))
     kw = dict(cfg, full_ws=full_ws, pt=pt)
     dists, inds = nls_search_core(vid0, vid1, flows, **kw)
