@@ -89,7 +89,7 @@ def build():
         flow_budget=FLOW_BUDGET, spread_budget=SPREAD_BUDGET)
     gather = stnls_tpu.agg.NonLocalGather(
         ps=ps, stride0=stride0, budget=AGG_BUDGET, spread=AGG_SPREAD,
-        wt_hint=wt)
+        wt_hint=2 * wt)
 
     # -- exactness guard: the timed kernel must have zero out-of-budget
     # entries (otherwise its fast path would silently degrade); pure jnp
@@ -118,7 +118,7 @@ def build():
     aprep = agg_pallas_prep(
         v6.shape, w_chk, f_chk, ps=ps, stride0=stride0, dilation=1,
         use_adj=False, itype="float", budget=AGG_BUDGET, spread=AGG_SPREAD,
-        wt_hint=wt, tile=None)
+        wt_hint=2 * wt, tile=None)
     n_aout = int(jnp.sum(aprep["outliers"]))
     assert n_aout == 0, f"{n_aout} out-of-budget gather edges; raise " \
         "AGG_BUDGET/AGG_SPREAD"

@@ -126,23 +126,27 @@ class NonLocalAttention(fnn.Module):
         self.norm_layer = LayerNorm2D(io_dim) if self.use_norm_layer else None
 
     def __call__(self, vid, flows=None, state=None, deterministic=True):
+        from stnls_tpu.nn.non_local_attn_stack import _StageTimer
+        timer = _StageTimer(optional(self._attn_cfg, "attn_timer", False),
+                            vid)
         B, T, C, H, W = vid.shape
         if self.use_flow and flows is not None:
             flows = rescale_flows(flows, H, W)
 
         if self.norm_layer is not None:
             vid = self.norm_layer(vid)
-        with jax.named_scope("qkv"):
+        with timer("qkv"):
             q_vid, k_vid, v_vid = self.get_qkv(vid)
-        with jax.named_scope("search"):
+        with timer("search"):
             dists, inds = self.run_search(q_vid, k_vid, flows, state)
         state = self._next_state(state, inds, q_vid.shape)
-        with jax.named_scope("normz"):
+        with timer("normz"):
             weights, inds = self.normz(dists, inds)
-        with jax.named_scope("agg"):
+        with timer("agg"):
             vid = self.run_aggregation(v_vid, weights, inds)
-        with jax.named_scope("proj"):
+        with timer("proj"):
             vid = self.run_projection(vid, deterministic)
+        object.__setattr__(self, "_times", timer.times)
         return vid, state
 
     def get_qkv(self, vid):
@@ -200,11 +204,14 @@ class NonLocalAttention(fnn.Module):
 
 
 def _inds_rs0(inds, nH, nW):
-    if inds.ndim != 5:
+    """[B,HD,Q,K,3] or [B,HD,T,nH,nW,K,3] -> state layout
+    [T,nH,nW,B,HD,K,3] (reference non_local_attn_stack.py inds_rs0)."""
+    if inds.ndim == 5:
+        B, HD, Q, K, tr = inds.shape
+        T = Q // (nH * nW)
+        inds = inds.reshape(B, HD, T, nH, nW, K, tr)
+    elif inds.ndim != 7:
         return inds
-    B, HD, Q, K, tr = inds.shape
-    T = Q // (nH * nW)
-    inds = inds.reshape(B, HD, T, nH, nW, K, tr)
     return jnp.transpose(inds, (2, 3, 4, 0, 1, 5, 6))
 
 

@@ -83,3 +83,49 @@ def test_denoiser_forward():
     out, _ = model.apply(params, vid, flows)
     assert out.shape == (B, T, C, H, W)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_attn_stack_refine_state_path():
+    """Stack block with search_name='refine': consumes the previous call's
+    top-K inds as the refinement state (reference non_local_attn_stack.py
+    run_search/update_state) and ref_itype mangles the refine itype."""
+    B, T, H, W = 1, 3, 8, 8
+    attn_cfg, search_cfg, normz_cfg, agg_cfg = make_cfgs()
+    io_dim = attn_cfg["nheads"] * attn_cfg["embed_dim"]
+    rng = np.random.default_rng(0)
+    vid = jnp.asarray(rng.standard_normal((B, T, io_dim, H, W)), jnp.float32)
+    flows = make_flows(B, T, H, W)
+
+    # first stage: plain nls with state recording
+    s1_cfg = dict(search_cfg, use_state_update=True)
+    m1 = NonLocalAttentionStack(attn_cfg, s1_cfg, normz_cfg, agg_cfg)
+    p1 = m1.init(jax.random.PRNGKey(0), vid, flows, state=[None, None])
+    out1, state = m1.apply(p1, vid, flows, state=[jnp.zeros(()), None])
+    assert state[0] is not None and state[0].ndim == 7
+
+    # second stage: refine from the recorded inds, int refinement
+    s2_cfg = dict(search_cfg, search_name="refine", wr=1, kr=-1,
+                  ref_itype="int", use_state_update=True)
+    m2 = NonLocalAttentionStack(attn_cfg, s2_cfg, normz_cfg, agg_cfg)
+    p2 = m2.init(jax.random.PRNGKey(1), vid, flows, state=state)
+    out2, state2 = m2.apply(p2, vid, flows, state=state)
+    assert out2.shape == (B, T, io_dim, H, W)
+    assert bool(jnp.isfinite(out2).all())
+
+
+def test_attn_timer_eager():
+    """attn_timer=True records per-stage wall times outside jit."""
+    B, T, H, W = 1, 2, 8, 8
+    attn_cfg, search_cfg, normz_cfg, agg_cfg = make_cfgs()
+    attn_cfg = dict(attn_cfg, attn_timer=True)
+    io_dim = attn_cfg["nheads"] * attn_cfg["embed_dim"]
+    model = NonLocalAttention(attn_cfg, search_cfg, normz_cfg, agg_cfg)
+    rng = np.random.default_rng(0)
+    vid = jnp.asarray(rng.standard_normal((B, T, io_dim, H, W)), jnp.float32)
+    flows = make_flows(B, T, H, W)
+    params = model.init(jax.random.PRNGKey(0), vid, flows)
+    bound = model.bind(params)
+    out, _ = bound(vid, flows)
+    times = bound._times
+    assert set(times) == {"qkv", "search", "normz", "agg", "proj"}
+    assert all(t >= 0 for t in times.values())
