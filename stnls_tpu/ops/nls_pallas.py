@@ -289,16 +289,11 @@ def _make_fwd_kernel(cfg):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
         # -- dense volume + separable one-hot selection; fori over the
-        #    pixel row shift, phases/column shifts unrolled (static).
-        #    Selection is batched over the Sp window slots and the value
-        #    families (one [nfam,Sp,TH,TW] FMA instead of nfam*Sp tiny
-        #    ops — Mosaic throughput is op-bound at [TH,TW] size) --
-        uw_iota = lax.broadcasted_iota(jnp.int32, (Sp, 1, 1), 0)
-
+        #    pixel row shift, phases/column shifts unrolled (static) --
         def zzh_body(zzh, _):
             for r in range(m):
                 j_h = r + m * zzh
-                selw = None                     # [nfam, Sp, TH, TW]
+                selw = [[None] * Sp for _ in range(nfam)]
                 for sv in range(m):
                     aidx = r * NS + s_pos[sv]
                     asl = ast_ref[aidx, pl.ds(zzh, TPHx)]
@@ -313,14 +308,19 @@ def _make_fwd_kernel(cfg):
                             if stride0 > 1:
                                 xs = xs[::stride0, ::stride0]
                             vals.append(xs)
-                        mws = (l0w[None] == (j_w - uw_iota)) \
-                            .astype(jnp.float32)        # [Sp, TH, TW]
-                        vals = jnp.stack(vals)          # [nfam, TH, TW]
-                        upd = mws[None] * vals[:, None]
-                        selw = upd if selw is None else selw + upd
-                mhs = (l0h[None] == (j_h - uw_iota)).astype(jnp.float32)
-                acc_ref[:] += (mhs[None, :, None] * selw[:, None]) \
-                    .reshape(nfam * Sp * Sp, TH, TW)
+                        for uw in range(Sp):
+                            mw = (l0w == (j_w - uw)).astype(jnp.float32)
+                            for fam in range(nfam):
+                                v = mw * vals[fam]
+                                cur = selw[fam][uw]
+                                selw[fam][uw] = (v if cur is None
+                                                 else cur + v)
+                for uh in range(Sp):
+                    mh = (l0h == (j_h - uh)).astype(jnp.float32)
+                    for fam in range(nfam):
+                        for uw in range(Sp):
+                            k = (fam * Sp + uh) * Sp + uw
+                            acc_ref[k] += mh * selw[fam][uw]
             return 0
 
         lax.fori_loop(0, ZL, zzh_body, 0)

@@ -156,12 +156,10 @@ def _make_bwd_kernel(cfg):
         l0w = l0w_ref[0, 0, 0]
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        uw_iota = lax.broadcasted_iota(jnp.int32, (Sp, 1, 1), 0)
-
         def fwd_sel_body(zzh, _):
             for r in range(m):
                 j_h = r + m * zzh
-                selw = None
+                selw = [[None] * Sp for _ in range(nfam)]
                 for sv in range(m):
                     aidx = r * NS + s_pos[sv]
                     asl = ast_ref[aidx, pl.ds(zzh, TPHx)]
@@ -173,14 +171,19 @@ def _make_bwd_kernel(cfg):
                             xidx = (ei * m + r) * m + sv
                             vals.append(xst_ref[pl.ds(zzh, TPH), xidx,
                                                 zzw:zzw + TPW])
-                        mws = (l0w[None] == (j_w - uw_iota)) \
-                            .astype(jnp.float32)
-                        vals = jnp.stack(vals)
-                        upd = mws[None] * vals[:, None]
-                        selw = upd if selw is None else selw + upd
-                mhs = (l0h[None] == (j_h - uw_iota)).astype(jnp.float32)
-                acc_ref[:] += (mhs[None, :, None] * selw[:, None]) \
-                    .reshape(nfam * Sp * Sp, TH, TW)
+                        for uw in range(Sp):
+                            mw = (l0w == (j_w - uw)).astype(jnp.float32)
+                            for fam in range(nfam):
+                                v = mw * vals[fam]
+                                cur = selw[fam][uw]
+                                selw[fam][uw] = (v if cur is None
+                                                 else cur + v)
+                for uh in range(Sp):
+                    mh = (l0h == (j_h - uh)).astype(jnp.float32)
+                    for fam in range(nfam):
+                        for uw in range(Sp):
+                            k = (fam * Sp + uh) * Sp + uw
+                            acc_ref[k] += mh * selw[fam][uw]
             return 0
 
         lax.fori_loop(0, ZL, fwd_sel_body, 0)
@@ -250,19 +253,31 @@ def _make_bwd_kernel(cfg):
         def bwd_sel_body(zzh, _):
             for r in range(m):
                 j_h = r + m * zzh
-                # row-selected cotangents, batched: [nfam, Sp(uw), TH, TW]
-                mhs = (l0h[None] == (j_h - uw_iota)).astype(jnp.float32)
-                gacc5 = gacc_ref[:].reshape(nfam, Sp, Sp, TH, TW)
-                grow = jnp.sum(mhs[None, :, None] * gacc5, axis=1)
+                # row-selected cotangents per (fam, uw)
+                grow = [[None] * Sp for _ in range(nfam)]
+                for uh in range(Sp):
+                    mh = (l0h == (j_h - uh)).astype(jnp.float32)
+                    for fam in range(nfam):
+                        for uw in range(Sp):
+                            k = (fam * Sp + uh) * Sp + uw
+                            v = mh * gacc_ref[k]
+                            cur = grow[fam][uw]
+                            grow[fam][uw] = v if cur is None else cur + v
                 for sv in range(m):
                     aidx = r * NS + s_pos[sv]
                     asl = ast_ref[aidx, pl.ds(zzh, TPHx)]
                     for zzw in range(ZLc):
                         j_w = sv + m * zzw
-                        mws = (l0w[None] == (j_w - uw_iota)) \
-                            .astype(jnp.float32)
-                        gsel = jnp.sum(mws[None] * grow, axis=1)
-                        gcc = gsel[0]
+                        gcc = None
+                        gxs = [None] * nX
+                        for uw in range(Sp):
+                            mw = (l0w == (j_w - uw)).astype(jnp.float32)
+                            v = mw * grow[0][uw]
+                            gcc = v if gcc is None else gcc + v
+                            for ei in range(nX):
+                                vx = mw * grow[1 + ei][uw]
+                                gxs[ei] = vx if gxs[ei] is None \
+                                    else gxs[ei] + vx
                         # CC backward: transpose tap-sum, then product rule
                         gp = tapsum_T(gcc, TPHx, TPWx)[:, None, :]
                         a_sl = asl[:, :, zzw:zzw + TPWx]
@@ -277,7 +292,7 @@ def _make_bwd_kernel(cfg):
                             gxp = gxst_ref[pl.ds(zzh, TPH), xidx,
                                            zzw:zzw + TPW]
                             gxst_ref[pl.ds(zzh, TPH), xidx,
-                                     zzw:zzw + TPW] = gxp + gsel[1 + ei]
+                                     zzw:zzw + TPW] = gxp + gxs[ei]
             return 0
 
         lax.fori_loop(0, ZL, bwd_sel_body, 0)
