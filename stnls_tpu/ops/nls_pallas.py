@@ -68,11 +68,13 @@ def pallas_geometry(*, ws, ps, stride1, dilation, flow_budget,
                     spread_budget, use_adj):
     """Static geometry shared by fwd and bwd kernels.
 
-    Rows: per-tile rebasing, local window of ZL pixel shifts
-    (Dloc = m*ZL up-grid shifts); tiles whose k0 spread exceeds it spill
-    to `outliers`. Columns: global domain of ZLc = 2*ZMAXc+1 pixel shifts
-    around the query column (budget-bounded, no rebasing — Mosaic cannot
-    dynamically offset the lane dim).
+    Rows AND columns use per-tile rebasing with a local window of ZL(c)
+    pixel shifts (Dloc/Dkc = m*ZL(c) up-grid shifts); tiles whose k0
+    spread exceeds it spill to `outliers`. Rows apply the tile origin at
+    the DMA (dynamic row offset); columns apply it with a dynamic lane
+    roll of the raw window (pltpu.roll — dynamic lane *slices* are not
+    lowerable, rolls are). The global clip range ZMAXc (from flow_budget)
+    bounds per-query offsets; spread_budget bounds in-tile variation.
     """
     m, su = cv_step(stride1)
     wspan = su * (ws - 1)
@@ -80,7 +82,7 @@ def pallas_geometry(*, ws, ps, stride1, dilation, flow_budget,
     ZMAXc = -(-(m * flow_budget + wspan + 2) // m)
     ZL = spread_budget + -(-(Sp + 1) // m)
     ZMAX = max(ZMAXc, ZL)       # row domain must fit the rebase window
-    ZLc = 2 * ZMAXc + 1
+    ZLc = ZL                    # columns rebase too: same local window
     Dloc = m * ZL
     Dkc = m * ZLc
     patch_offset = 0 if use_adj else -(ps // 2)
@@ -205,8 +207,6 @@ def _make_fwd_kernel(cfg):
     pad0 = cfg["pad0"]
     s1 = float(cfg["stride1"])
     init_val = float(dist_type_select(cfg["dist_type"])[2])
-    wmodw = cfg["wmodw"]              # static int in [0, m)
-    cbase = cfg["cbase"]              # static: floor(WINw/m) + pad1 - 1
     dm = kernel_dims(cfg)
     (TPH, TPW, TPHx, TPWx, RH, RW, AH, AW, XFH, XFW) = (
         dm["TPH"], dm["TPW"], dm["TPHx"], dm["TPWx"], dm["RH"], dm["RW"],
@@ -233,6 +233,8 @@ def _make_fwd_kernel(cfg):
         tyv = scal_ref[bh, p, t, 4]   # global v0 row origin (band-aware)
         r0 = scal_ref[bh, p, t, 0]
         wmodh = scal_ref[bh, p, t, 1]
+        cw0 = scal_ref[bh, p, t, 5]   # per-tile column window origin
+        wmodw = scal_ref[bh, p, t, 6]
 
         # -- DMA the two row windows (full width; rows-only dynamic) --
         cp0 = pltpu.make_async_copy(
@@ -244,10 +246,13 @@ def _make_fwd_kernel(cfg):
         cp0.wait()
         cp1.wait()
         v0w = v0w_ref[:, :, pad0 - t0s:pad0 - t0s + TPWx]
+        # column rebase: align the per-tile window origin to local col 0
+        # (dynamic lane roll — dynamic lane slices are not lowerable)
+        rawscr_ref[...] = pltpu.roll(rawscr_ref[...], shift=-cw0, axis=2)
 
         # -- phase images: separable hat-weight interp, static slices.
-        #    Row weights are traced scalars (row origin is per-tile);
-        #    column weights are static python floats. --
+        #    Row AND column weights are traced scalars (both origins are
+        #    per-tile rebased). --
         for r in r_need:
             wh = _hat_weights_scalar(wmodh + r, m, (1, 2, 3))
             acc_b = None
@@ -257,13 +262,11 @@ def _make_fwd_kernel(cfg):
             bst_ref[r_pos[r]] = acc_b
         for r in r_need:
             for sv in s_need:
+                # c=0 is live for the sv=-1 phase (X families)
+                wc = _hat_weights_scalar(wmodw + sv, m, (0, 1, 2, 3))
                 acc_a = None
                 for c in (0, 1, 2, 3):
-                    w = _hat((wmodw + sv) / float(m) - (c - 1))
-                    if w == 0.0:
-                        continue
-                    v = bst_ref[r_pos[r], :, :, cbase + c:cbase + c + AW]
-                    v = v if w == 1.0 else w * v
+                    v = wc[c] * bst_ref[r_pos[r], :, :, c:c + AW]
                     acc_a = v if acc_a is None else acc_a + v
                 ast_ref[r_pos[r] * NS + s_pos[sv]] = acc_a
 
@@ -289,7 +292,12 @@ def _make_fwd_kernel(cfg):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
         # -- dense volume + separable one-hot selection; fori over the
-        #    pixel row shift, phases/column shifts unrolled (static) --
+        #    pixel row shift, phases/column shifts unrolled (static).
+        #    _stage is a perf-bisect debug knob (wrong results except
+        #    "full"): "skipfori" drops the sweep, "prodonly" drops the
+        #    one-hot selection --
+        stage = cfg.get("_stage", "full")
+
         def zzh_body(zzh, _):
             for r in range(m):
                 j_h = r + m * zzh
@@ -308,6 +316,10 @@ def _make_fwd_kernel(cfg):
                             if stride0 > 1:
                                 xs = xs[::stride0, ::stride0]
                             vals.append(xs)
+                        if stage == "prodonly":
+                            for fam in range(nfam):
+                                acc_ref[fam * Sp * Sp] += vals[fam]
+                            continue
                         for uw in range(Sp):
                             mw = (l0w == (j_w - uw)).astype(jnp.float32)
                             for fam in range(nfam):
@@ -315,6 +327,8 @@ def _make_fwd_kernel(cfg):
                                 cur = selw[fam][uw]
                                 selw[fam][uw] = (v if cur is None
                                                  else cur + v)
+                if stage == "prodonly":
+                    continue
                 for uh in range(Sp):
                     mh = (l0h == (j_h - uh)).astype(jnp.float32)
                     for fam in range(nfam):
@@ -323,7 +337,8 @@ def _make_fwd_kernel(cfg):
                             acc_ref[k] += mh * selw[fam][uw]
             return 0
 
-        lax.fori_loop(0, ZL, zzh_body, 0)
+        if stage != "skipfori":
+            lax.fori_loop(0, ZL, zzh_body, 0)
 
         def accv(fam, uh, uw):
             return acc_ref[(fam * Sp + uh) * Sp + uw]
@@ -456,7 +471,7 @@ def _pallas_prep(vid_shape, flows, *, ws, wt, ps, stride0, stride1,
     KLO = -m * ZMAX
     KHI = KLO + m * (2 * ZMAX + 1) - 1
     KLOc = -m * ZMAXc
-    KHIc = KLOc + Dkc - 1
+    KHIc = KLOc + m * (2 * ZMAXc + 1) - 1   # global clip (flow budget)
     W_t = min(2 * wt + 1, T)
     nHq, nW = num_queries(H, W, stride0)
     nH = flows.shape[-2]          # band rows (== nHq when unbanded)
@@ -503,18 +518,25 @@ def _pallas_prep(vid_shape, flows, *, ws, wt, ps, stride0, stride1,
     if is_int:
         th = jnp.zeros_like(th)
         tw = jnp.zeros_like(tw)
-    l0w_full = k0w - KLOc                # global column anchor
     P = T * W_t
+    Dkc = geo["Dkc"]
     k0h_t = k0h.reshape(BH, P, nT, TH, nW)
     oh_t = jnp.clip(jnp.min(k0h_t, axis=(3, 4)), KLO, KHI - Dloc + 1)
     l0h = k0h_t - oh_t[..., None, None]
     spill = (l0h < 0) | (l0h > Dloc - Sp)
-    outliers = outliers | spill.reshape(B, HD, T, W_t, nH, nW)
     l0h = jnp.clip(l0h, 0, Dloc - Sp)
+    # column rebasing (mirror of rows; origin applied in-kernel via a
+    # dynamic lane roll of the raw window)
+    k0w_t = k0w.reshape(BH, P, nT, TH, nW)
+    ow_t = jnp.clip(jnp.min(k0w_t, axis=(3, 4)), KLOc, KHIc - Dkc + 1)
+    l0w = k0w_t - ow_t[..., None, None]
+    spill_c = (l0w < 0) | (l0w > Dkc - Sp)
+    l0w = jnp.clip(l0w, 0, Dkc - Sp)
+    outliers = outliers | (spill | spill_c).reshape(B, HD, T, W_t, nH, nW)
     return dict(geo=geo, stride1=stride1, is_int=is_int, W_t=W_t, nH=nH,
                 nW=nW, TH=TH, nT=nT, BH=BH, P=P, ctr_h=ctr_h, ctr_w=ctr_w,
                 off_h=off_h, off_w=off_w, th=th, tw=tw, l0h=l0h,
-                l0w_full=l0w_full, oh_t=oh_t, outliers=outliers,
+                l0w=l0w, oh_t=oh_t, ow_t=ow_t, outliers=outliers,
                 base_h=base_h, base_w=base_w)
 
 
@@ -561,7 +583,7 @@ def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
                       dist_type="l2", dilation=1, full_ws=True,
                       use_adj=False, itype="float", flow_budget=8,
                       spread_budget=8, tile=None, interpret=None,
-                      row0=0, padded_vids=None):
+                      row0=0, padded_vids=None, _stage="full"):
     """Pallas-kernel NLS volume. Returns (dists [B,HD,T,W_t,ws,ws,nH,nW],
     inds3 [3,...], outliers [B,HD,T,W_t,nH,nW]).
 
@@ -589,12 +611,11 @@ def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
     ctr_h, ctr_w = prep["ctr_h"], prep["ctr_w"]
     off_h, off_w = prep["off_h"], prep["off_w"]
     th, tw = prep["th"], prep["tw"]
-    l0h, l0w_full, oh_t = prep["l0h"], prep["l0w_full"], prep["oh_t"]
+    l0h, oh_t = prep["l0h"], prep["oh_t"]
     outliers = prep["outliers"]
     base_h, base_w = prep["base_h"], prep["base_w"]
     m, su, Sp = geo["m"], geo["su"], geo["Sp"]
     pad0, pad1, t0s = geo["pad0"], geo["pad1"], geo["t0s"]
-    KLOc = -m * geo["ZMAXc"]
     dtype = jnp.float32
 
     def to_tiles(x):
@@ -611,16 +632,16 @@ def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
     r0 = jnp.floor_divide(WINh, m) + (pad1 - 1)
     wmodh = WINh - m * jnp.floor_divide(WINh, m)
     tyv = ty0 - t0s + pad0                        # v0 window origin [nT]
+    # per-tile column window origin (applied in-kernel via lane roll)
+    ow_t = prep["ow_t"]
+    WINw = m * (0 - t0s) + ow_t                   # [BH, P, nT]
+    cw0 = jnp.floor_divide(WINw, m) + (pad1 - 1)
+    wmodw = WINw - m * jnp.floor_divide(WINw, m)
     ti_b = jnp.broadcast_to(jnp.asarray(t_tab)[None, :, None], r0.shape)
     tj_b = jnp.broadcast_to(jnp.asarray(tj_tab)[None, :, None], r0.shape)
     tyv_b = jnp.broadcast_to(tyv[None, None, :], r0.shape)
-    scal = jnp.stack([r0, wmodh, ti_b, tj_b, tyv_b],
+    scal = jnp.stack([r0, wmodh, ti_b, tj_b, tyv_b, cw0, wmodw],
                      axis=-1).astype(jnp.int32)
-
-    # static column window origin (see kernel: cbase/wmodw)
-    WINw = m * (0 - t0s) + KLOc
-    cbase = WINw // m + pad1 - 1
-    wmodw_s = WINw - m * (WINw // m)
 
     # ---- padded videos, rows-major layout [BH, T, Hp, F, Wp] ----
     if padded_vids is None:
@@ -631,10 +652,10 @@ def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
 
     cfg = dict(geo, ws=ws, ps=ps, stride0=stride0, stride1=stride1,
                dist_type=dist_type, is_int=is_int, TH=TH, TW=TW, F=Fp,
-               H=H, W=W, cbase=int(cbase), wmodw=int(wmodw_s))
+               H=H, W=W, _stage=_stage)
 
     d_t = _vol_op(_freeze(cfg), bool(interpret), v0p, v1p, scal,
-                  l0h, to_tiles(l0w_full), to_tiles(th), to_tiles(tw),
+                  l0h, prep["l0w"], to_tiles(th), to_tiles(tw),
                   to_tiles(ctr_h), to_tiles(ctr_w),
                   to_tiles(off_h.astype(dtype)),
                   to_tiles(off_w.astype(dtype)))

@@ -55,8 +55,6 @@ def _make_bwd_kernel(cfg):
     H, W = cfg["H"], cfg["W"]
     pad0 = cfg["pad0"]
     s1 = float(cfg["stride1"])
-    wmodw = cfg["wmodw"]
-    cbase = cfg["cbase"]
     dm = kernel_dims(cfg)
     (TPH, TPW, TPHx, TPWx, RH, RW, AH, AW, XFH, XFW) = (
         dm["TPH"], dm["TPW"], dm["TPHx"], dm["TPWx"], dm["RH"], dm["RW"],
@@ -104,6 +102,8 @@ def _make_bwd_kernel(cfg):
         tyv = scal_ref[bh, p, t, 4]   # global v0 row origin (band-aware)
         r0 = scal_ref[bh, p, t, 0]
         wmodh = scal_ref[bh, p, t, 1]
+        cw0 = scal_ref[bh, p, t, 5]   # per-tile column window origin
+        wmodw = scal_ref[bh, p, t, 6]
 
         # ---------------- A. recompute forward state ----------------
         cp0 = pltpu.make_async_copy(
@@ -116,6 +116,8 @@ def _make_bwd_kernel(cfg):
         cp1.wait()
         c_lo = pad0 - t0s
         v0w = v0w_ref[:, :, c_lo:c_lo + TPWx]
+        # column rebase (see fwd kernel): dynamic lane roll
+        rawscr_ref[...] = pltpu.roll(rawscr_ref[...], shift=-cw0, axis=2)
 
         for r in r_need:
             wh = _hat_weights_scalar(wmodh + r, m, (1, 2, 3))
@@ -126,13 +128,11 @@ def _make_bwd_kernel(cfg):
             bst_ref[r_pos[r]] = acc_b
         for r in r_need:
             for sv in s_need:
+                # c=0 is live for the sv=-1 phase (X families)
+                wc = _hat_weights_scalar(wmodw + sv, m, (0, 1, 2, 3))
                 acc_a = None
                 for c in (0, 1, 2, 3):
-                    w = _hat((wmodw + sv) / float(m) - (c - 1))
-                    if w == 0.0:
-                        continue
-                    v = bst_ref[r_pos[r], :, :, cbase + c:cbase + c + AW]
-                    v = v if w == 1.0 else w * v
+                    v = wc[c] * bst_ref[r_pos[r], :, :, c:c + AW]
                     acc_a = v if acc_a is None else acc_a + v
                 ast_ref[r_pos[r] * NS + s_pos[sv]] = acc_a
 
@@ -331,20 +331,18 @@ def _make_bwd_kernel(cfg):
         gbst_ref[:] = jnp.zeros_like(gbst_ref)
         for r in r_need:
             for sv in s_need:
+                wc = _hat_weights_scalar(wmodw + sv, m, (0, 1, 2, 3))
                 ga = gast_ref[r_pos[r] * NS + s_pos[sv]]
                 for c in (0, 1, 2, 3):
-                    w = _hat((wmodw + sv) / float(m) - (c - 1))
-                    if w == 0.0:
-                        continue
-                    v = ga if w == 1.0 else w * ga
-                    gbst_ref[r_pos[r], :, :,
-                             cbase + c:cbase + c + AW] += v
+                    gbst_ref[r_pos[r], :, :, c:c + AW] += wc[c] * ga
         graw_ref[:] = jnp.zeros_like(graw_ref)
         for r in r_need:
             wh = _hat_weights_scalar(wmodh + r, m, (1, 2, 3))
             gb = gbst_ref[r_pos[r]]
             for k in (1, 2, 3):
                 graw_ref[k:k + AH] += wh[k - 1] * gb
+        # un-rebase columns: the grads above live in rolled coordinates
+        graw_ref[...] = pltpu.roll(graw_ref[...], shift=cw0, axis=2)
 
         # ---------------- F. RMW accumulation into HBM ----------------
         def rmw(hbm_at, local_ref, tmp_shape, sem_a, sem_b):

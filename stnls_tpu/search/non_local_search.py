@@ -357,7 +357,7 @@ class NonLocalSearch:
                  full_ws=True, use_adj=False, normalize_bwd=False, k_agg=-1,
                  off_Hq=0, off_Wq=0, strideQ=None, itype="float",
                  impl="auto", flow_budget=8, cv_tile=None,
-                 spread_budget=4, qchunk=None):
+                 spread_budget=8, qchunk=None):
         self.cfg = dict(
             ws=ws, wt=wt, ps=ps, k=k, nheads=nheads, stride0=stride0,
             stride1=stride1, dist_type=dist_type, dilation=dilation, pt=pt,

@@ -21,7 +21,8 @@ def make_data(B=1, HD=1, T=8, F=3, H=8, W=8, wt=1, seed=0):
     return vid0, vid1, flows
 
 
-@pytest.mark.parametrize("n_time", [2, 4])
+@pytest.mark.parametrize("n_time", [
+    2, pytest.param(4, marks=pytest.mark.slow)])
 def test_time_sharded_matches_single(n_time):
     vid0, vid1, flows = make_data()
     ws, wt, ps, k = 3, 1, 1, 4

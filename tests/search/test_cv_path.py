@@ -72,6 +72,7 @@ def test_cv_matches_lattice(cfg):
                                rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_cv_gradients_match_lattice():
     cfg = dict(ws=3, wt=1, ps=3, stride0=1, stride1=0.5, dist_type="l2",
                itype="float")
@@ -151,6 +152,7 @@ def test_cv_tiled_spill_flags():
     np.testing.assert_allclose(dn[keep], dr[keep], rtol=3e-4, atol=3e-4)
 
 
+@pytest.mark.slow
 def test_cv_tiled_gradients_match():
     cfg = dict(ws=3, wt=1, ps=3, stride0=1, stride1=0.5, dist_type="l2",
                itype="float")
