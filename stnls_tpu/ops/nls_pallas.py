@@ -80,9 +80,13 @@ def pallas_geometry(*, ws, ps, stride1, dilation, flow_budget,
     wspan = su * (ws - 1)
     Sp = wspan + 2
     ZMAXc = -(-(m * flow_budget + wspan + 2) // m)
-    ZL = spread_budget + -(-(Sp + 1) // m)
+    if isinstance(spread_budget, (tuple, list)):
+        sb_r, sb_c = spread_budget
+    else:
+        sb_r = sb_c = spread_budget
+    ZL = sb_r + -(-(Sp + 1) // m)
+    ZLc = sb_c + -(-(Sp + 1) // m)  # columns rebase too (lane roll)
     ZMAX = max(ZMAXc, ZL)       # row domain must fit the rebase window
-    ZLc = ZL                    # columns rebase too: same local window
     Dloc = m * ZL
     Dkc = m * ZLc
     patch_offset = 0 if use_adj else -(ps // 2)
