@@ -82,7 +82,7 @@ def build():
     bflow = jnp.asarray(smooth_flows(rng, (B, T, 2, H, W)), jnp.float32)
 
     FLOW_BUDGET, SPREAD_BUDGET = 8, (12, 14)
-    AGG_BUDGET, AGG_SPREAD = 14, 24
+    AGG_BUDGET, AGG_SPREAD = 12, (16, 20)
     search = stnls_tpu.search.NonLocalSearch(
         ws, wt, ps, K, nheads=HD, stride0=stride0, stride1=stride1,
         self_action="anchor", itype="float",

@@ -61,11 +61,16 @@ def agg_geometry(*, ps, dilation, use_adj, budget, spread):
     taps = tuple(dilation * (p + patch_offset) for p in range(ps))
     hh = max(max(taps), -min(taps), 1)
     R = int(budget)
-    ZL = int(spread) + 2              # row shifts zh in [0, ZL)
-    ZLc = 2 * (R + 1) + 2             # col shifts zwv in [-(R+1), R+2]
-    # single reflect pad must cover the worst row window (oh up to R+1
-    # plus the ZL sweep) and the col domain + tap overhang
-    padS = R + 2 + hh + ZL
+    if isinstance(spread, (tuple, list)):
+        sb_r, sb_c = spread
+    else:
+        sb_r = sb_c = spread
+    ZL = int(sb_r) + 2                # row shifts zh in [0, ZL)
+    ZLc = int(sb_c) + 2               # col shifts (per-tile rebased via
+    #                                   lane roll, like the search kernel)
+    # single reflect pad must cover the worst rebased window (origin up
+    # to R+1 plus the local sweep) and the tap overhang
+    padS = R + 2 + hh + max(ZL, ZLc) + 1
     return dict(taps=taps, hh=hh, R=R, ZL=ZL, ZLc=ZLc, padS=padS,
                 patch_offset=patch_offset)
 
@@ -134,7 +139,7 @@ def _make_fwd_kernel(cfg):
     is_int = cfg["is_int"]
     RH = TH + ZL
     THh = TH + 2 * hh
-    c0 = padS - (R + 1)
+    c0 = padS
 
     def kernel(scal_ref, v_ref, fld_ref, out_ref, vw_ref, fw_ref,
                sem0, sem1):
@@ -143,6 +148,7 @@ def _make_fwd_kernel(cfg):
         ti = pl.program_id(2)
         r0 = scal_ref[bh, t, ti, 0]
         oh = scal_ref[bh, t, ti, 1]
+        ow = scal_ref[bh, t, ti, 2]   # per-tile column origin (lane roll)
 
         cpf = pltpu.make_async_copy(
             fld_ref.at[bh, t, pl.ds(ti * TH, THh)], fw_ref, sem1)
@@ -156,13 +162,15 @@ def _make_fwd_kernel(cfg):
             return fw_ref[:, FLD[name] * K:FLD[name] * K + K, :]
 
         for s in range(W_t):
-            tj = scal_ref[bh, t, ti, 2 + s]
+            tj = scal_ref[bh, t, ti, 3 + s]
             cpv = pltpu.make_async_copy(
                 v_ref.at[bh, tj, pl.ds(r0, RH)], vw_ref, sem0)
             cpv.start()
             ztv = float(zt_vals[s])
             A = fld("w") * (fld("dt") == ztv).astype(jnp.float32)
             cpv.wait()
+            # column rebase: local col 0 = global origin ow
+            vw_ref[...] = pltpu.roll(vw_ref[...], shift=-ow, axis=2)
 
             def zh_body(zh, _):
                 ohf = (oh + zh).astype(jnp.float32)
@@ -172,7 +180,7 @@ def _make_fwd_kernel(cfg):
                                            is_int)
                 Rf = A * rsel                          # [THh, K, Wp]
                 for zw in range(ZLc):
-                    zwv = float(zw - (R + 1))
+                    zwv = (ow + zw).astype(jnp.float32)
                     _, _, csel = _corner_masks(fld("fw"), zwv,
                                                None if is_int
                                                else fld("tw"), is_int)
@@ -285,6 +293,7 @@ def agg_pallas_prep(vid_shape, weights, flows, *, ps, stride0, dilation,
     assert nH % TH == 0
     nT = nH // TH
     BH = B * HD
+    ZLc = geo["ZLc"]
     fh_cl = jnp.clip(fh, -(R + 1), R + 1)
     # min over (K, tile-rows + halo, all cols): pad rows then window-min
     fh_r = jnp.min(fh_cl, axis=(2, 5))                  # [B,HD,T,H]
@@ -296,13 +305,24 @@ def agg_pallas_prep(vid_shape, weights, flows, *, ps, stride0, dilation,
     oh = jnp.min(fh_t, axis=-1).astype(jnp.int32)       # [B,HD,T,nT]
     oh_rows = jnp.repeat(oh.astype(fh_cl.dtype), TH, axis=3)  # [B,HD,T,nH]
     spill = (fh_cl - oh_rows[:, :, None, :, :, None]) > (ZL - 2)
+    # column rebasing: per-tile origin over the same row band (+halo),
+    # all columns (columns are not tiled)
+    fw_cl = jnp.clip(fw, -(R + 1), R + 1)
+    fw_r = jnp.min(fw_cl, axis=(2, 5))                  # [B,HD,T,H]
+    fw_rp = jnp.pad(fw_r, ((0, 0), (0, 0), (0, 0), (hh, hh)),
+                    constant_values=R + 1)
+    fw_t = jnp.stack([lax.dynamic_slice_in_dim(fw_rp, i * TH, THh, axis=3)
+                      for i in range(nT)], axis=3)
+    ow = jnp.min(fw_t, axis=-1).astype(jnp.int32)       # [B,HD,T,nT]
+    ow_rows = jnp.repeat(ow.astype(fw_cl.dtype), TH, axis=3)
+    spill_c = (fw_cl - ow_rows[:, :, None, :, :, None]) > (ZLc - 2)
     wtm = T - 1 if wt_hint is None else min(int(wt_hint), T - 1)
     out_t = jnp.abs(dt) > wtm
-    outliers = (out_edge | spill | out_t)               # [B,HD,K,T,H,W]
+    outliers = (out_edge | spill | spill_c | out_t)     # [B,HD,K,T,H,W]
 
     prep = dict(geo=geo, is_int=is_int, K=K, TH=TH, nT=nT, BH=BH, T=T,
                 F=F, H=H, W=W, nH=nH, nW=nW, THh=THh,
-                fh=fh, fw=fw, th=th, tw=tw, dt=dt, w=w_km, oh=oh,
+                fh=fh, fw=fw, th=th, tw=tw, dt=dt, w=w_km, oh=oh, ow=ow,
                 outliers=outliers, wt_hint=wt_hint)
     return prep
 
@@ -374,14 +394,15 @@ def nl_gather_stack_pallas(vid, weights, flows, *, ps, stride0=1, pt=1,
     Fp = v1p.shape[3]
     TWp = fldp.shape[-1]
 
-    # scal: [BH, T, nT, 2 + W_t] = (r0, oh, tj_s...)
+    # scal: [BH, T, nT, 3 + W_t] = (r0, oh, ow, tj_s...)
     ty0 = (jnp.arange(nT, dtype=jnp.int32) * TH)[None, None, :]
     oh = prep["oh"].reshape(BH, T, nT)
+    ow = prep["ow"].reshape(BH, T, nT)
     r0 = geo["padS"] + ty0 + oh
     t_idx = jnp.arange(T, dtype=jnp.int32)[None, :, None]
     tjs = [jnp.broadcast_to(jnp.clip(t_idx + z, 0, T - 1), r0.shape)
            for z in zt_vals]
-    scal = jnp.stack([r0, oh] + tjs, axis=-1).astype(jnp.int32)
+    scal = jnp.stack([r0, oh, ow] + tjs, axis=-1).astype(jnp.int32)
 
     K8 = -(-K // 8) * 8
     cfg = dict(geo, K=K, K8=K8, F=Fp, TH=TH, TWp=TWp, W_t=W_t,

@@ -38,7 +38,7 @@ def _make_bwd_kernel(cfg):
     is_int = cfg["is_int"]
     RH = TH + ZL
     THh = TH + 2 * hh
-    c0 = padS - (R + 1)
+    c0 = padS
 
     def kernel(scal_ref, g_ref, v_ref, fld_ref, gvz_ref, gfz_ref,
                gv_ref, gf_ref,
@@ -50,6 +50,7 @@ def _make_bwd_kernel(cfg):
         ti = pl.program_id(2)
         r0 = scal_ref[bh, t, ti, 0]
         oh = scal_ref[bh, t, ti, 1]
+        ow = scal_ref[bh, t, ti, 2]   # per-tile column origin (lane roll)
 
         cpf = pltpu.make_async_copy(
             fld_ref.at[bh, t, pl.ds(ti * TH, THh)], fw_ref, sem1)
@@ -73,7 +74,7 @@ def _make_bwd_kernel(cfg):
             pl.run_scoped(inner, pltpu.VMEM(tmp_shape, jnp.float32))
 
         for s in range(W_t):
-            tj = scal_ref[bh, t, ti, 2 + s]
+            tj = scal_ref[bh, t, ti, 3 + s]
             cpv = pltpu.make_async_copy(
                 v_ref.at[bh, tj, pl.ds(r0, RH)], vw_ref, sem0)
             cpv.start()
@@ -81,6 +82,8 @@ def _make_bwd_kernel(cfg):
             D = (fld("dt") == ztv).astype(jnp.float32)
             A = fld("w") * D                           # [THh, K, Wp]
             cpv.wait()
+            # column rebase (see fwd kernel)
+            vw_ref[...] = pltpu.roll(vw_ref[...], shift=-ow, axis=2)
             gvw_ref[...] = jnp.zeros_like(gvw_ref)
             gall = g_ref[0, 0, 0].reshape(TH, K, F, TWp)
 
@@ -91,7 +94,7 @@ def _make_bwd_kernel(cfg):
                 r0m, r1m, rsel = _corner_masks(fld("fh"), ohf, th, is_int)
                 Rf = A * rsel
                 for zw in range(ZLc):
-                    zwv = float(zw - (R + 1))
+                    zwv = (ow + zw).astype(jnp.float32)
                     tw = None if is_int else fld("tw")
                     c0m, c1m, csel = _corner_masks(fld("fw"), zwv, tw,
                                                    is_int)
@@ -125,6 +128,8 @@ def _make_bwd_kernel(cfg):
                 return 0
 
             lax.fori_loop(0, ZL, zh_body, 0)
+            # un-rebase columns before accumulating into HBM
+            gvw_ref[...] = pltpu.roll(gvw_ref[...], shift=ow, axis=2)
             rmw(gv_ref.at[bh, tj, pl.ds(r0, RH)], gvw_ref,
                 (RH, F, vw_ref.shape[-1]), sem2, sem3)
 
