@@ -179,17 +179,24 @@ def kernel_dims(cfg):
     TPW = (TW - 1) * stride0 + 1
     TPHx, TPWx = TPH + Eh, TPW + Eh
     RH = TPHx + ZL + 4                 # raw rows (rows rebased per tile)
-    RW = -(-(W + 2 * cfg["pad1"]) // 128) * 128   # raw cols (full width)
+    RW = -(-(W + 2 * cfg["pad1"]) // 128) * 128   # full padded width
     AH = TPHx + ZL + 1
     AW = TPWx + ZLc + 1
     XFH = ZL + TPH
     XFW = ZLc + TPW
+    # column-window widths: DMAs fetch a 128-aligned col block (dynamic
+    # minor-dim offsets must be provably 128-divisible) + fine lane roll
+    RWc = min(RW, -(-(AW + 4 + 128) // 128) * 128)   # v1 window
+    VWc = min(-(-(W + 2 * cfg["pad0"]) // 128) * 128,
+              -(-(TPWx + 1 + 128) // 128) * 128)     # v0 window
+    AWb = min(RWc, -(-(AW + 4) // 128) * 128)        # bst width
     r_need = sorted({r for r in range(m)}
                     | {r + e[0] for r in range(m) for e in x_es})
     s_need = sorted({s for s in range(m)}
                     | {s + e[1] for s in range(m) for e in x_es})
     nfam = 1 + len(x_es)
     return dict(TPH=TPH, TPW=TPW, TPHx=TPHx, TPWx=TPWx, RH=RH, RW=RW,
+                RWc=RWc, VWc=VWc, AWb=AWb,
                 AH=AH, AW=AW, XFH=XFH, XFW=XFW, r_need=r_need,
                 s_need=s_need, NR=len(r_need), NS=len(s_need),
                 nfam=nfam, x_es=x_es, nX=len(x_es),
@@ -225,6 +232,8 @@ def _make_fwd_kernel(cfg):
     tapsum = functools.partial(_tapsum_to_queries, taps=taps, t0s=t0s,
                                TH=TH, TW=TW, stride0=stride0)
 
+    RWc, VWc, AWb = dm["RWc"], dm["VWc"], dm["AWb"]
+
     def kernel(scal_ref, v0_ref, v1_ref, l0h_ref, l0w_ref, th_ref, tw_ref,
                ctrh_ref, ctrw_ref, offh_ref, offw_ref, out_ref,
                v0w_ref, rawscr_ref, bst_ref, ast_ref, xst_ref, acc_ref,
@@ -237,22 +246,29 @@ def _make_fwd_kernel(cfg):
         tyv = scal_ref[bh, p, t, 4]   # global v0 row origin (band-aware)
         r0 = scal_ref[bh, p, t, 0]
         wmodh = scal_ref[bh, p, t, 1]
-        cw0 = scal_ref[bh, p, t, 5]   # per-tile column window origin
+        cw0r = scal_ref[bh, p, t, 5]  # col origin, fine part (lane roll)
         wmodw = scal_ref[bh, p, t, 6]
+        dc1 = scal_ref[bh, p, t, 7]   # v1 col block (x128, DMA-aligned)
+        dc0 = scal_ref[bh, p, t, 8]   # v0 col block
+        cv0r = scal_ref[bh, p, t, 9]  # v0 fine roll
 
-        # -- DMA the two row windows (full width; rows-only dynamic) --
+        # -- DMA the two row x col-block windows (dynamic row offsets;
+        # col offsets provably 128-aligned, fine part via lane roll) --
         cp0 = pltpu.make_async_copy(
-            v0_ref.at[bh, ti, pl.ds(tyv, TPHx)], v0w_ref, sem0)
+            v0_ref.at[bh, ti, pl.ds(tyv, TPHx), slice(None),
+                      pl.ds(dc0 * 128, VWc)], v0w_ref, sem0)
         cp0.start()
         cp1 = pltpu.make_async_copy(
-            v1_ref.at[bh, tj, pl.ds(r0, RH)], rawscr_ref, sem1)
+            v1_ref.at[bh, tj, pl.ds(r0, RH), slice(None),
+                      pl.ds(dc1 * 128, RWc)], rawscr_ref, sem1)
         cp1.start()
         cp0.wait()
         cp1.wait()
-        v0w = v0w_ref[:, :, pad0 - t0s:pad0 - t0s + TPWx]
+        v0w_ref[...] = pltpu.roll(v0w_ref[...], shift=-cv0r, axis=2)
+        v0w = v0w_ref[:, :, 0:TPWx]
         # column rebase: align the per-tile window origin to local col 0
         # (dynamic lane roll — dynamic lane slices are not lowerable)
-        rawscr_ref[...] = pltpu.roll(rawscr_ref[...], shift=-cw0, axis=2)
+        rawscr_ref[...] = pltpu.roll(rawscr_ref[...], shift=-cw0r, axis=2)
 
         # -- phase images: separable hat-weight interp, static slices.
         #    Row AND column weights are traced scalars (both origins are
@@ -261,7 +277,7 @@ def _make_fwd_kernel(cfg):
             wh = _hat_weights_scalar(wmodh + r, m, (1, 2, 3))
             acc_b = None
             for k in (1, 2, 3):
-                v = wh[k - 1] * rawscr_ref[k:k + AH]
+                v = wh[k - 1] * rawscr_ref[k:k + AH, :, 0:AWb]
                 acc_b = v if acc_b is None else acc_b + v
             bst_ref[r_pos[r]] = acc_b
         for r in r_need:
@@ -411,9 +427,9 @@ def _fwd_pallas_call(cfg, v0e, v1p, scal, l0h, l0w, th, tw, ctrh, ctrw,
             lambda bh, p, t, *_: (bh, p, t, 0, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((dm["TPHx"], F, v0e.shape[-1]), jnp.float32),
-            pltpu.VMEM((dm["RH"], F, dm["RW"]), jnp.float32),
-            pltpu.VMEM((dm["NR"], dm["AH"], F, dm["RW"]), jnp.float32),
+            pltpu.VMEM((dm["TPHx"], F, dm["VWc"]), jnp.float32),
+            pltpu.VMEM((dm["RH"], F, dm["RWc"]), jnp.float32),
+            pltpu.VMEM((dm["NR"], dm["AH"], F, dm["AWb"]), jnp.float32),
             pltpu.VMEM((dm["NR"] * dm["NS"], dm["AH"], F, dm["AW"]),
                        jnp.float32),
             pltpu.VMEM((dm["XFH"], dm["NXST"], dm["XFW"]), jnp.float32),
@@ -426,6 +442,8 @@ def _fwd_pallas_call(cfg, v0e, v1p, scal, l0h, l0w, th, tw, ctrh, ctrw,
                                      jnp.float32)
     return pl.pallas_call(
         kernel, out_shape=out_shape, grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(scal, v0e, v1p, l0h, l0w, th, tw, ctrh, ctrw, offh, offw)
 
@@ -451,12 +469,13 @@ def pallas_outliers(vid_shape, flows, *, ws, wt, ps, stride0, stride1,
 
 def _pallas_prep(vid_shape, flows, *, ws, wt, ps, stride0, stride1,
                  dilation, full_ws, use_adj, itype, flow_budget,
-                 spread_budget, tile, row0=0):
+                 spread_budget, tile, row0=0, col0=0):
     """Shared geometry prep (centers, window offsets, lattice anchors,
     per-tile row rebasing, outlier flags) — pure jnp, no Pallas call.
 
-    row0: first query-grid row of this band (global units); flows carry
-    only the band's rows, so nH is taken from flows, not the video."""
+    row0/col0: first query-grid row/col of this band (global units);
+    flows carry only the band's rows/cols, so nH/nW come from flows, not
+    the video."""
     B, HD, T, F, H, W = vid_shape
     is_int = (itype == "int")
     if is_int:
@@ -477,9 +496,10 @@ def _pallas_prep(vid_shape, flows, *, ws, wt, ps, stride0, stride1,
     KLOc = -m * ZMAXc
     KHIc = KLOc + m * (2 * ZMAXc + 1) - 1   # global clip (flow budget)
     W_t = min(2 * wt + 1, T)
-    nHq, nW = num_queries(H, W, stride0)
+    nHq, nWq = num_queries(H, W, stride0)
     nH = flows.shape[-2]          # band rows (== nHq when unbanded)
-    assert nH <= nHq and flows.shape[-1] == nW
+    nW = flows.shape[-1]          # band cols (== nWq when unbanded)
+    assert nH <= nHq and nW <= nWq
     if tile is None:
         TH = _largest_divisor_leq(nH, 8)
     else:
@@ -492,7 +512,7 @@ def _pallas_prep(vid_shape, flows, *, ws, wt, ps, stride0, stride1,
     flows = _expand_flow_heads(flows, HD)
     dtype = jnp.float32
     ref_h = ((row0 + jnp.arange(nH, dtype=jnp.int32)) * stride0) % H
-    ref_w = (jnp.arange(nW, dtype=jnp.int32) * stride0) % W
+    ref_w = ((col0 + jnp.arange(nW, dtype=jnp.int32)) * stride0) % W
     base_h = ref_h[None, None, None, None, :, None].astype(dtype)
     base_w = ref_w[None, None, None, None, None, :].astype(dtype)
     fH = flows[:, :, :, :, 1]
@@ -587,7 +607,8 @@ def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
                       dist_type="l2", dilation=1, full_ws=True,
                       use_adj=False, itype="float", flow_budget=8,
                       spread_budget=8, tile=None, interpret=None,
-                      row0=0, padded_vids=None, _stage="full"):
+                      row0=0, col0=0, padded_vids=None,
+                      _stage="full"):
     """Pallas-kernel NLS volume. Returns (dists [B,HD,T,W_t,ws,ws,nH,nW],
     inds3 [3,...], outliers [B,HD,T,W_t,nH,nW]).
 
@@ -607,7 +628,7 @@ def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
                         stride0=stride0, stride1=stride1, dilation=dilation,
                         full_ws=full_ws, use_adj=use_adj, itype=itype,
                         flow_budget=flow_budget, spread_budget=spread_budget,
-                        tile=tile, row0=row0)
+                        tile=tile, row0=row0, col0=col0)
     geo, stride1, is_int = prep["geo"], prep["stride1"], prep["is_int"]
     W_t, nH, nW = prep["W_t"], prep["nH"], prep["nW"]
     TH, nT, BH, P = prep["TH"], prep["nT"], prep["BH"], prep["P"]
@@ -631,22 +652,6 @@ def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
     t_tab = np.repeat(np.arange(T), W_t).astype(np.int32)
     tj_tab = np.asarray(tj_table).reshape(-1).astype(np.int32)
 
-    ty0 = (row0 + jnp.arange(nT, dtype=jnp.int32) * TH) * stride0
-    WINh = m * (ty0[None, None] - t0s) + oh_t     # [BH, P, nT]
-    r0 = jnp.floor_divide(WINh, m) + (pad1 - 1)
-    wmodh = WINh - m * jnp.floor_divide(WINh, m)
-    tyv = ty0 - t0s + pad0                        # v0 window origin [nT]
-    # per-tile column window origin (applied in-kernel via lane roll)
-    ow_t = prep["ow_t"]
-    WINw = m * (0 - t0s) + ow_t                   # [BH, P, nT]
-    cw0 = jnp.floor_divide(WINw, m) + (pad1 - 1)
-    wmodw = WINw - m * jnp.floor_divide(WINw, m)
-    ti_b = jnp.broadcast_to(jnp.asarray(t_tab)[None, :, None], r0.shape)
-    tj_b = jnp.broadcast_to(jnp.asarray(tj_tab)[None, :, None], r0.shape)
-    tyv_b = jnp.broadcast_to(tyv[None, None, :], r0.shape)
-    scal = jnp.stack([r0, wmodh, ti_b, tj_b, tyv_b, cw0, wmodw],
-                     axis=-1).astype(jnp.int32)
-
     # ---- padded videos, rows-major layout [BH, T, Hp, F, Wp] ----
     if padded_vids is None:
         v0p, v1p = _pad_vids(vid0, vid1, pad0, pad1)
@@ -657,6 +662,33 @@ def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
     cfg = dict(geo, ws=ws, ps=ps, stride0=stride0, stride1=stride1,
                dist_type=dist_type, is_int=is_int, TH=TH, TW=TW, F=Fp,
                H=H, W=W, _stage=_stage)
+    dmw = kernel_dims(cfg)
+
+    ty0 = (row0 + jnp.arange(nT, dtype=jnp.int32) * TH) * stride0
+    WINh = m * (ty0[None, None] - t0s) + oh_t     # [BH, P, nT]
+    r0 = jnp.floor_divide(WINh, m) + (pad1 - 1)
+    wmodh = WINh - m * jnp.floor_divide(WINh, m)
+    tyv = ty0 - t0s + pad0                        # v0 window origin [nT]
+    # per-tile column window origin: 128-aligned DMA block + fine roll
+    ow_t = prep["ow_t"]
+    WINw = m * (col0 * stride0 - t0s) + ow_t      # [BH, P, nT]
+    cw0 = jnp.floor_divide(WINw, m) + (pad1 - 1)
+    wmodw = WINw - m * jnp.floor_divide(WINw, m)
+    dc1 = jnp.clip(cw0 // 128, 0, (v1p.shape[-1] - dmw["RWc"]) // 128)
+    cw0r = cw0 - 128 * dc1
+    cstart = col0 * stride0 + pad0 - t0s
+    dc0v = min(max(int(cstart) // 128, 0),
+               (v0p.shape[-1] - dmw["VWc"]) // 128) \
+        if not hasattr(cstart, "dtype") else jnp.clip(
+            cstart // 128, 0, (v0p.shape[-1] - dmw["VWc"]) // 128)
+    cv0r = cstart - 128 * dc0v
+    ti_b = jnp.broadcast_to(jnp.asarray(t_tab)[None, :, None], r0.shape)
+    tj_b = jnp.broadcast_to(jnp.asarray(tj_tab)[None, :, None], r0.shape)
+    tyv_b = jnp.broadcast_to(tyv[None, None, :], r0.shape)
+    dc0_b = jnp.broadcast_to(jnp.asarray(dc0v, jnp.int32), r0.shape)
+    cv0_b = jnp.broadcast_to(jnp.asarray(cv0r, jnp.int32), r0.shape)
+    scal = jnp.stack([r0, wmodh, ti_b, tj_b, tyv_b, cw0r, wmodw,
+                      dc1, dc0_b, cv0_b], axis=-1).astype(jnp.int32)
 
     d_t = _vol_op(_freeze(cfg), bool(interpret), v0p, v1p, scal,
                   l0h, prep["l0w"], to_tiles(th), to_tiles(tw),

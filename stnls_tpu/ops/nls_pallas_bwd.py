@@ -65,6 +65,7 @@ def _make_bwd_kernel(cfg):
     s_pos = {sv: i for i, sv in enumerate(s_need)}
     x_es, nX, nfam = dm["x_es"], dm["nX"], dm["nfam"]
     dist_is_l2, is_int = dm["dist_is_l2"], dm["is_int"]
+    RWc, VWc, AWb = dm["RWc"], dm["VWc"], dm["AWb"]
     ncr, cc_terms, x_terms = _corner_terms(is_int, dist_is_l2)
     tapsum = functools.partial(_tapsum_to_queries, taps=taps, t0s=t0s,
                                TH=TH, TW=TW, stride0=stride0)
@@ -102,28 +103,34 @@ def _make_bwd_kernel(cfg):
         tyv = scal_ref[bh, p, t, 4]   # global v0 row origin (band-aware)
         r0 = scal_ref[bh, p, t, 0]
         wmodh = scal_ref[bh, p, t, 1]
-        cw0 = scal_ref[bh, p, t, 5]   # per-tile column window origin
+        cw0r = scal_ref[bh, p, t, 5]  # col origin, fine part (lane roll)
         wmodw = scal_ref[bh, p, t, 6]
+        dc1 = scal_ref[bh, p, t, 7]   # v1 col block (x128, DMA-aligned)
+        dc0 = scal_ref[bh, p, t, 8]   # v0 col block
+        cv0r = scal_ref[bh, p, t, 9]  # v0 fine roll
 
         # ---------------- A. recompute forward state ----------------
         cp0 = pltpu.make_async_copy(
-            v0_ref.at[bh, ti, pl.ds(tyv, TPHx)], v0w_ref, sem0)
+            v0_ref.at[bh, ti, pl.ds(tyv, TPHx), slice(None),
+                      pl.ds(dc0 * 128, VWc)], v0w_ref, sem0)
         cp0.start()
         cp1 = pltpu.make_async_copy(
-            v1_ref.at[bh, tj, pl.ds(r0, RH)], rawscr_ref, sem1)
+            v1_ref.at[bh, tj, pl.ds(r0, RH), slice(None),
+                      pl.ds(dc1 * 128, RWc)], rawscr_ref, sem1)
         cp1.start()
         cp0.wait()
         cp1.wait()
-        c_lo = pad0 - t0s
+        v0w_ref[...] = pltpu.roll(v0w_ref[...], shift=-cv0r, axis=2)
+        c_lo = 0
         v0w = v0w_ref[:, :, c_lo:c_lo + TPWx]
         # column rebase (see fwd kernel): dynamic lane roll
-        rawscr_ref[...] = pltpu.roll(rawscr_ref[...], shift=-cw0, axis=2)
+        rawscr_ref[...] = pltpu.roll(rawscr_ref[...], shift=-cw0r, axis=2)
 
         for r in r_need:
             wh = _hat_weights_scalar(wmodh + r, m, (1, 2, 3))
             acc_b = None
             for k in (1, 2, 3):
-                v = wh[k - 1] * rawscr_ref[k:k + AH]
+                v = wh[k - 1] * rawscr_ref[k:k + AH, :, 0:AWb]
                 acc_b = v if acc_b is None else acc_b + v
             bst_ref[r_pos[r]] = acc_b
         for r in r_need:
@@ -340,9 +347,10 @@ def _make_bwd_kernel(cfg):
             wh = _hat_weights_scalar(wmodh + r, m, (1, 2, 3))
             gb = gbst_ref[r_pos[r]]
             for k in (1, 2, 3):
-                graw_ref[k:k + AH] += wh[k - 1] * gb
+                graw_ref[k:k + AH, :, 0:AWb] += wh[k - 1] * gb
         # un-rebase columns: the grads above live in rolled coordinates
-        graw_ref[...] = pltpu.roll(graw_ref[...], shift=cw0, axis=2)
+        graw_ref[...] = pltpu.roll(graw_ref[...], shift=cw0r, axis=2)
+        gv0w_ref[...] = pltpu.roll(gv0w_ref[...], shift=cv0r, axis=2)
 
         # ---------------- F. RMW accumulation into HBM ----------------
         def rmw(hbm_at, local_ref, tmp_shape, sem_a, sem_b):
@@ -356,10 +364,12 @@ def _make_bwd_kernel(cfg):
                 wr.wait()
             pl.run_scoped(inner, pltpu.VMEM(tmp_shape, jnp.float32))
 
-        rmw(gv0_ref.at[bh, ti, pl.ds(tyv, TPHx)], gv0w_ref,
-            (TPHx, F, gv0w_ref.shape[-1]), sem2, sem3)
-        rmw(gv1_ref.at[bh, tj, pl.ds(r0, RH)], graw_ref,
-            (RH, F, RW), sem2, sem3)
+        rmw(gv0_ref.at[bh, ti, pl.ds(tyv, TPHx), slice(None),
+                       pl.ds(dc0 * 128, VWc)], gv0w_ref,
+            (TPHx, F, VWc), sem2, sem3)
+        rmw(gv1_ref.at[bh, tj, pl.ds(r0, RH), slice(None),
+                       pl.ds(dc1 * 128, RWc)], graw_ref,
+            (RH, F, RWc), sem2, sem3)
 
     return kernel, dm
 
@@ -391,15 +401,15 @@ def vol_bwd_pallas(cfg, interpret, g, v0e, v1p, scal, l0h, l0w, th, tw,
                                 lambda bh, p, t, *_: (bh, p, t, 0, 0),
                                 memory_space=pltpu.VMEM)),
         scratch_shapes=[
-            pltpu.VMEM((dm["TPHx"], F, v0e.shape[-1]), jnp.float32),
-            pltpu.VMEM((dm["RH"], F, dm["RW"]), jnp.float32),
-            pltpu.VMEM((dm["NR"], dm["AH"], F, dm["RW"]), jnp.float32),
+            pltpu.VMEM((dm["TPHx"], F, dm["VWc"]), jnp.float32),
+            pltpu.VMEM((dm["RH"], F, dm["RWc"]), jnp.float32),
+            pltpu.VMEM((dm["NR"], dm["AH"], F, dm["AWb"]), jnp.float32),
             pltpu.VMEM((dm["NR"] * dm["NS"], dm["AH"], F, dm["AW"]),
                        jnp.float32),
             pltpu.VMEM((dm["XFH"], dm["NXST"], dm["XFW"]), jnp.float32),
             pltpu.VMEM((dm["nfam"] * cfg["Sp"] * cfg["Sp"], TH, TW),
                        jnp.float32),
-            pltpu.VMEM((dm["TPHx"], F, v0e.shape[-1]), jnp.float32),
+            pltpu.VMEM((dm["TPHx"], F, dm["VWc"]), jnp.float32),
             pltpu.VMEM((dm["NR"] * dm["NS"], dm["AH"], F, dm["AW"]),
                        jnp.float32),
             pltpu.VMEM((dm["XFH"], dm["NXST"], dm["XFW"]), jnp.float32),

@@ -179,35 +179,45 @@ def _use_pallas_path(cfg, vid_shape):
     return ok
 
 
-def _pick_n_bands(cfg, vid_shape, nH):
-    """Streaming band count: explicit cfg["qchunk"] (query rows per band)
-    or auto so one band's search volume (+3x inds) stays under ~512 MB —
-    the reference never materializes the volume at all
-    (non_local_search_int_kernel.cu:208-223); banding + per-band top-K is
-    the TPU equivalent (SURVEY hard part #5)."""
+def _pick_n_bands(cfg, vid_shape, nH, nW):
+    """Streaming band grid (rows, cols): explicit cfg["qchunk"] (query
+    rows per band; (rows, cols) tuple accepted) or auto so one band's
+    search volume (+3x inds) stays under ~512 MB and bands stay under
+    ~256 query cols (VMEM) — the reference never materializes the volume
+    at all (non_local_search_int_kernel.cu:208-223); banding + per-band
+    top-K is the TPU equivalent (SURVEY hard part #5)."""
     B, HD, T, F, H, W = vid_shape
-    nW = (W - 1) // cfg["stride0"] + 1
     qchunk = cfg.get("qchunk", None)
+    cchunk = None
+    if isinstance(qchunk, (tuple, list)):
+        qchunk, cchunk = qchunk
     if qchunk:
-        n_bands = max(1, nH // int(qchunk))
+        n_rb = max(1, nH // int(qchunk))
     else:
         W_t = min(2 * cfg["wt"] + 1, T)
         band_bytes = 16 * B * HD * T * W_t * cfg["ws"] ** 2 * nH * nW
-        n_bands = -(-band_bytes // (512 * 1024 * 1024))
-    while nH % n_bands:
-        n_bands += 1
-    return int(n_bands)
+        n_rb = -(-band_bytes // (512 * 1024 * 1024))
+    if cchunk:
+        n_cb = max(1, nW // int(cchunk))
+    else:
+        n_cb = -(-nW // 256)
+    while nH % n_rb:
+        n_rb += 1
+    while nW % n_cb:
+        n_cb += 1
+    return int(n_rb), int(n_cb)
 
 
-def _pallas_banded(vid0, vid1, flows, cfg, n_bands):
-    """Memory-bounded streaming search: lax.map over query-row bands;
-    each band runs the fused kernel + self_action + top-K, so only
-    1/n_bands of the search volume ever exists at once."""
+def _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb):
+    """Memory-bounded streaming search: lax.map over a (row, col) band
+    grid of queries; each band runs the fused kernel + self_action +
+    top-K, so only one band's search volume ever exists at once."""
     from stnls_tpu.ops.nls_pallas import nls_pallas_volume, pallas_pad_vids
     B, HD, T, F, H, W = vid0.shape
     nH = flows.shape[-2]
     nW = flows.shape[-1]
-    rows = nH // n_bands
+    rows = nH // n_rb
+    cols = nW // n_cb
     kw = dict(ws=cfg["ws"], wt=cfg["wt"], ps=cfg["ps"],
               stride0=cfg["stride0"], stride1=cfg["stride1"],
               dist_type=cfg["dist_type"], dilation=cfg["dilation"],
@@ -221,27 +231,36 @@ def _pallas_banded(vid0, vid1, flows, cfg, n_bands):
                          flow_budget=cfg.get("flow_budget", 8),
                          spread_budget=cfg.get("spread_budget", 8),
                          use_adj=cfg["use_adj"], itype=cfg["itype"])
-    # [B,HD,T,St,2,nH,nW] -> [n_bands, B,HD,T,St,2,rows,nW]
-    fb = jnp.moveaxis(
-        flows.reshape(flows.shape[:5] + (n_bands, rows, nW)), 5, 0)
-    row0s = jnp.arange(n_bands, dtype=jnp.int32) * rows
+    # [B,HD,T,St,2,nH,nW] -> [n_rb*n_cb, B,HD,T,St,2,rows,cols]
+    lead = flows.shape[:5]
+    fb = flows.reshape(lead + (n_rb, rows, n_cb, cols))
+    fb = jnp.moveaxis(jnp.moveaxis(fb, 5, 0), 8 - 1, 1) \
+        .reshape((n_rb * n_cb,) + lead + (rows, cols))
+    bidx = jnp.arange(n_rb * n_cb, dtype=jnp.int32)
+    row0s = (bidx // n_cb) * rows
+    col0s = (bidx % n_cb) * cols
 
     def body(xs):
-        band_flows, r0 = xs
+        band_flows, r0, c0 = xs
         d, i3, _ = nls_pallas_volume(vid0, vid1, band_flows, row0=r0,
-                                     padded_vids=pv, **kw)
+                                     col0=c0, padded_vids=pv, **kw)
         return _self_action_topk(
             d, i3, self_action=cfg["self_action"],
             topk_mode=cfg["topk_mode"], k=cfg["k"], wt=cfg["wt"],
             dist_type=cfg["dist_type"])
 
-    d_b, i_b = jax.lax.map(body, (fb, row0s))
-    # [n_bands, B,HD,T,rows,nW,K] -> [B,HD,T,nH,nW,K]
-    dists = jnp.moveaxis(d_b, 0, 3).reshape(
-        d_b.shape[1:4] + (nH, nW) + d_b.shape[6:])
-    inds = jnp.moveaxis(i_b, 0, 3).reshape(
-        i_b.shape[1:4] + (nH, nW) + i_b.shape[6:])
-    return dists, inds
+    d_b, i_b = jax.lax.map(body, (fb, row0s, col0s))
+    # [n_rb*n_cb, B,HD,T,rows,cols,K(,3)] -> [B,HD,T,nH,nW,K(,3)]
+
+    def unband(x):
+        rest = x.shape[1:]          # (B,HD,T,rows,cols)+tail
+        tail_n = len(rest) - 5
+        x = x.reshape((n_rb, n_cb) + rest)
+        perm = (2, 3, 4, 0, 5, 1, 6) + tuple(range(7, 7 + tail_n))
+        x = jnp.transpose(x, perm)
+        return x.reshape(x.shape[:3] + (nH, nW) + rest[5:])
+
+    return unband(d_b), unband(i_b)
 
 
 def nls_pipeline(vid0, vid1, flows, cfg):
@@ -257,9 +276,11 @@ def nls_pipeline(vid0, vid1, flows, cfg):
     if _use_pallas_path(cfg, vid0.shape):
         from stnls_tpu.ops.nls_pallas import nls_pallas_volume
         nH = flows.shape[-2] if flows.ndim >= 7 else vid0.shape[-2]
-        n_bands = _pick_n_bands(cfg, vid0.shape, nH)
-        if n_bands > 1 and cfg["topk_mode"] != "none" and cfg["k"] > 0:
-            return _pallas_banded(vid0, vid1, flows, cfg, n_bands)
+        nW = flows.shape[-1] if flows.ndim >= 7 else vid0.shape[-1]
+        n_rb, n_cb = _pick_n_bands(cfg, vid0.shape, nH, nW)
+        if (n_rb > 1 or n_cb > 1) and cfg["topk_mode"] != "none" \
+                and cfg["k"] > 0:
+            return _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb)
         dists, inds3, _ = nls_pallas_volume(
             vid0, vid1, flows, ws=cfg["ws"], wt=cfg["wt"], ps=cfg["ps"],
             stride0=cfg["stride0"], stride1=cfg["stride1"],

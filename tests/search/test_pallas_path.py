@@ -142,7 +142,8 @@ def test_pallas_banded_streaming_matches_full():
     common = dict(nheads=HD, stride0=1, stride1=1, self_action="anchor",
                   itype="float")
     s_ref = NonLocalSearch(ws, wt, ps, K, impl="lattice", **common)
-    s_band = NonLocalSearch(ws, wt, ps, K, impl="pallas", qchunk=8,
+    # 2x2 band grid: rows and cols both stream (memory-bounded path)
+    s_band = NonLocalSearch(ws, wt, ps, K, impl="pallas", qchunk=(8, 8),
                             spread_budget=14, **common)
     d_r, i_r = s_ref(vid0, vid1, flows)
     d_b, i_b = s_band(vid0, vid1, flows)
