@@ -154,11 +154,12 @@ def config_4():
 
 
 def config_5():
-    """1080p alignment: T=10, wt=3, K=10, HD=2 — search fwd throughput."""
+    """1080p alignment: T=10, wt=3, K=10, HD=2 — search fwd throughput.
+    F=4: alignment searches the (RGB) video itself, not deep features."""
     import jax
     import jax.numpy as jnp
     import stnls_tpu
-    B, T, F, H, W = 1, 10, 16, 1080, 1920
+    B, T, F, H, W = 1, 10, 4, 1080, 1920
     ws, wt, ps, K, HD = 5, 3, 1, 10, 2
     rng = np.random.default_rng(0)
     vid = jnp.asarray(rng.standard_normal((B, T, F, H, W)), jnp.float32)
@@ -166,9 +167,15 @@ def config_5():
                         jnp.float32)
     bflow = jnp.asarray(smooth_flows(rng, (B, T, 2, H, W), amp=3.0),
                         jnp.float32)
+    # band_dtype=f16 halves the HBM held by the stacked per-band top-K
+    # outputs (T=10 x 1080p x K=10 dists+inds is ~6.6 GB in f32; the full
+    # set plus padded videos exceeds the 16 GB chip in f32)
+    # qchunk (8, 240): 8-row bands keep full 8-row kernel tiles (smaller
+    # tiles fault the TPU worker at this scale)
     search = stnls_tpu.search.NonLocalSearch(
         ws, wt, ps, K, nheads=HD, self_action="anchor", itype="float",
-        flow_budget=12, spread_budget=16)
+        flow_budget=12, spread_budget=16, band_dtype="float16",
+        qchunk=(8, 240))
 
     def fn(v, ff, bf):
         d, i = search(v, v, ff, bf)

@@ -201,11 +201,26 @@ def _pick_n_bands(cfg, vid_shape, nH, nW):
         n_cb = max(1, nW // int(cchunk))
     else:
         n_cb = -(-nW // 256)
-    while nH % n_rb:
-        n_rb += 1
     while nW % n_cb:
         n_cb += 1
-    return int(n_rb), int(n_cb)
+
+    # rows per band must not leave the kernel with tiny (<5-row) tiles —
+    # TH=4 tiles fault the TPU worker (observed at 1080p/T=10; TH in
+    # {5,6,8} is fine). Prefer the smallest valid divisor >= target.
+    def _th(rows):
+        for d in range(min(8, rows), 0, -1):
+            if rows % d == 0:
+                return d
+        return 1
+
+    divs = [n for n in range(1, nH + 1) if nH % n == 0]
+
+    def _score(n):
+        th = _th(nH // n)
+        cls = 0 if th == 8 else (1 if th >= 5 else 2)
+        return (cls, 0 if n >= n_rb else 1, abs(n - int(n_rb)))
+
+    return int(min(divs, key=_score)), int(n_cb)
 
 
 def _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb):
@@ -240,14 +255,22 @@ def _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb):
     row0s = (bidx // n_cb) * rows
     col0s = (bidx % n_cb) * cols
 
+    band_dtype = cfg.get("band_dtype", None)
+
     def body(xs):
         band_flows, r0, c0 = xs
         d, i3, _ = nls_pallas_volume(vid0, vid1, band_flows, row0=r0,
                                      col0=c0, padded_vids=pv, **kw)
-        return _self_action_topk(
+        d, i = _self_action_topk(
             d, i3, self_action=cfg["self_action"],
             topk_mode=cfg["topk_mode"], k=cfg["k"], wt=cfg["wt"],
             dist_type=cfg["dist_type"])
+        if band_dtype is not None:
+            # opt-in half-precision band outputs: halves the HBM held by
+            # the stacked per-band results on huge frames (1080p, T=10)
+            d = d.astype(band_dtype)
+            i = i.astype(band_dtype)
+        return d, i
 
     d_b, i_b = jax.lax.map(body, (fb, row0s, col0s))
     # [n_rb*n_cb, B,HD,T,rows,cols,K(,3)] -> [B,HD,T,nH,nW,K(,3)]
@@ -378,7 +401,7 @@ class NonLocalSearch:
                  full_ws=True, use_adj=False, normalize_bwd=False, k_agg=-1,
                  off_Hq=0, off_Wq=0, strideQ=None, itype="float",
                  impl="auto", flow_budget=8, cv_tile=None,
-                 spread_budget=8, qchunk=None):
+                 spread_budget=8, qchunk=None, band_dtype=None):
         self.cfg = dict(
             ws=ws, wt=wt, ps=ps, k=k, nheads=nheads, stride0=stride0,
             stride1=stride1, dist_type=dist_type, dilation=dilation, pt=pt,
@@ -387,7 +410,8 @@ class NonLocalSearch:
             full_ws=full_ws, use_adj=use_adj, normalize_bwd=normalize_bwd,
             k_agg=k_agg, off_Hq=off_Hq, off_Wq=off_Wq, strideQ=strideQ,
             itype=itype, impl=impl, flow_budget=flow_budget,
-            cv_tile=cv_tile, spread_budget=spread_budget, qchunk=qchunk)
+            cv_tile=cv_tile, spread_budget=spread_budget, qchunk=qchunk,
+            band_dtype=band_dtype)
         for key, val in self.cfg.items():
             setattr(self, key, val)
         self._fn = _make_grad_policy_fn(self.cfg)
@@ -449,7 +473,7 @@ def extract_config(cfg, restrict=True):
              "normalize_bwd": False, "k_agg": -1, "topk_mode": "all",
              "off_Hq": 0, "off_Wq": 0, "strideQ": None, "itype": "float",
              "impl": "auto", "flow_budget": 8, "spread_budget": 8,
-             "qchunk": None}
+             "qchunk": None, "band_dtype": None}
     return extract_pairs(cfg, pairs, restrict=restrict)
 
 
