@@ -185,8 +185,12 @@ def kernel_dims(cfg):
     XFH = ZL + TPH
     XFW = ZLc + TPW
     # column-window widths: DMAs fetch a 128-aligned col block (dynamic
-    # minor-dim offsets must be provably 128-divisible) + fine lane roll
-    RWc = min(RW, -(-(AW + 4 + 128) // 128) * 128)   # v1 window
+    # minor-dim offsets must be provably 128-divisible; the block index
+    # is constant per call — varying it across grid steps faults the TPU
+    # worker) + fine lane roll that absorbs the per-tile origin span
+    m_ = cfg["m"]
+    span_px = (m_ * (2 * cfg["ZMAXc"] + 1) - m_ * ZLc) // m_ + 2
+    RWc = min(RW, -(-(AW + 4 + 384 + max(0, span_px)) // 128) * 128)
     VWc = min(-(-(W + 2 * cfg["pad0"]) // 128) * 128,
               -(-(TPWx + 1 + 128) // 128) * 128)     # v0 window
     AWb = min(RWc, -(-(AW + 4) // 128) * 128)        # bst width
@@ -674,7 +678,15 @@ def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
     WINw = m * (col0 * stride0 - t0s) + ow_t      # [BH, P, nT]
     cw0 = jnp.floor_divide(WINw, m) + (pad1 - 1)
     wmodw = WINw - m * jnp.floor_divide(WINw, m)
-    dc1 = jnp.clip(cw0 // 128, 0, (v1p.shape[-1] - dmw["RWc"]) // 128)
+    # the 128-block index must be CONSTANT per call (a varying col-block
+    # DMA offset across grid steps faults the TPU worker); anchor it at
+    # the minimum possible origin and absorb the per-tile span in the roll
+    KLOc_ = -m * geo["ZMAXc"]
+    WINw_min = m * (col0 * stride0 - t0s) + KLOc_
+    cw0_min = WINw_min // m + (pad1 - 1)
+    dc1s = jnp.clip(jnp.asarray(cw0_min // 128, jnp.int32), 0,
+                    (v1p.shape[-1] - dmw["RWc"]) // 128)
+    dc1 = jnp.broadcast_to(dc1s, cw0.shape)
     cw0r = cw0 - 128 * dc1
     cstart = col0 * stride0 + pad0 - t0s
     dc0v = min(max(int(cstart) // 128, 0),
