@@ -100,9 +100,12 @@ def _make_bwd_kernel(cfg):
                                                    is_int)
                     M = Rf * csel
                     # sparsity skip (see fwd kernel). NOTE: must be
-                    # weight-free — a zero-weight edge still needs its
-                    # g_w, so test the bare corner hits D*rsel*csel
-                    any_hit = jnp.max(D * rsel * csel) > 0.
+                    # weight-free AND fraction-free — a zero-weight edge
+                    # still needs its g_w, and an exactly-integer flow
+                    # (th/tw == 0) still needs its g_th/g_tw from the
+                    # zero-weight corner (r1m/c1m), so test the bare
+                    # corner hits, not the lerped selectors.
+                    any_hit = jnp.max(D * (r0m + r1m) * (c0m + c1m)) > 0.
 
                     @pl.when(any_hit)
                     def _bwd_cell(M=M, csel=csel, r0m=r0m, r1m=r1m,

@@ -60,6 +60,32 @@ def test_agg_pallas_gradients(itype, ps):
                                    rtol=1e-4, atol=5e-4, err_msg=name)
 
 
+def test_agg_pallas_gradients_integer_valued_float_flows():
+    """Exactly-integer float flows (th/tw == 0): the upper bilinear corner
+    has zero lerp weight but still carries g_th/g_tw — the kernel's
+    sparsity skip must not drop it (round-1 advisor finding)."""
+    vid, w, fl = make_data(K=3, T=2, wt=1)
+    fl = jnp.round(fl)  # integer-valued, dtype float
+    rng = np.random.default_rng(3)
+    gd = jnp.asarray(rng.standard_normal(
+        (vid.shape[0], vid.shape[1], 3, 2, 4, 24, 24)), jnp.float32)
+
+    def lr(v, ww, f):
+        return jnp.sum(nl_gather_stack(v, ww, f, ps=3, stride0=1,
+                                       itype="float") * gd)
+
+    def lp(v, ww, f):
+        out, _ = nl_gather_stack_pallas(v, ww, f, ps=3, stride0=1,
+                                        itype="float", budget=4, spread=10)
+        return jnp.sum(out * gd)
+
+    gr = jax.grad(lr, (0, 1, 2))(vid, w, fl)
+    gp = jax.grad(lp, (0, 1, 2))(vid, w, fl)
+    for name, a, b in zip(("vid", "w", "flows"), gr, gp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=5e-4, err_msg=name)
+
+
 def test_agg_pallas_outlier_flagging():
     vid, w, fl = make_data(fmax=0.0)
     fl = fl.at[0, 0, 1, 5, 5, 0, 1].set(9.0)   # row offset past budget
