@@ -65,9 +65,9 @@ def main():
     t_fwd = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    g_vid, g_flow = jax.block_until_ready(grad(V_in, fflow))
+    g_vid, g_flow = jax.block_until_ready(grad(V_in, fflow, bflow))
     t0b = time.perf_counter()
-    g_vid, g_flow = jax.block_until_ready(grad(V_in, fflow))
+    g_vid, g_flow = jax.block_until_ready(grad(V_in, fflow, bflow))
     t_bwd = time.perf_counter() - t0b
 
     print("V_out.shape:", out.shape)

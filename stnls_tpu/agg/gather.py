@@ -59,13 +59,18 @@ def non_local_gather(vid, weights, flows, ps=7, stride0=4, pt=1,
     if _pallas_ok(impl, ps, stride0, pt, dilation, reflect_bounds, budget,
                   spread, H, W):
         from stnls_tpu.ops.agg_pallas import nl_gather_stack_pallas
+        from stnls_tpu.utils.debug import emit_count_warning
         weights6 = weights.reshape(B, HD_, T, nH, nW, K)
         flows7 = flows.reshape(B, HD_, T, nH, nW, K, 3)
-        stack, _ = nl_gather_stack_pallas(
+        stack, outl = nl_gather_stack_pallas(
             vid, weights6, flows7, ps=ps, stride0=stride0, pt=pt,
             dilation=dilation, reflect_bounds_=reflect_bounds,
             use_adj=use_adj, itype=itype, budget=budget, spread=spread,
             wt_hint=wt_hint)
+        emit_count_warning(
+            jnp.sum(outl),
+            f"NonLocalGather pallas path: edges exceeded budget={budget}/"
+            f"spread={spread} and contribute zero; raise the budgets")
         return stack
     return nl_gather_stack(
         vid, weights, flows, ps=ps, stride0=stride0, pt=pt,

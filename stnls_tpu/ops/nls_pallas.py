@@ -238,10 +238,16 @@ def _make_fwd_kernel(cfg):
 
     RWc, VWc, AWb = dm["RWc"], dm["VWc"], dm["AWb"]
 
+    save_acc = bool(cfg.get("save_acc", False))
+
     def kernel(scal_ref, v0_ref, v1_ref, l0h_ref, l0w_ref, th_ref, tw_ref,
-               ctrh_ref, ctrw_ref, offh_ref, offw_ref, out_ref,
-               v0w_ref, rawscr_ref, bst_ref, ast_ref, xst_ref, acc_ref,
-               sem0, sem1):
+               ctrh_ref, ctrw_ref, offh_ref, offw_ref, out_ref, *rest):
+        # with save_acc the selected corner-window volume is emitted as a
+        # residual so the backward kernel can skip its recompute sweep
+        if save_acc:
+            accout_ref, rest = rest[0], rest[1:]
+        (v0w_ref, rawscr_ref, bst_ref, ast_ref, xst_ref, acc_ref,
+         selw_ref, sem0, sem1) = rest
         bh = pl.program_id(0)
         p = pl.program_id(1)
         t = pl.program_id(2)
@@ -317,48 +323,71 @@ def _make_fwd_kernel(cfg):
 
         # -- dense volume + separable one-hot selection; fori over the
         #    pixel row shift, phases/column shifts unrolled (static).
+        #    Row/col shifts that match NO query in the tile (smooth flows
+        #    make most combos empty) are skipped via prefetched per-tile
+        #    activity bits + pl.when — the data-adaptive pruning the
+        #    reference gets for free from its one-thread-per-(query,cell)
+        #    launch (non_local_search_int_kernel.cu:208-223).
         #    _stage is a perf-bisect debug knob (wrong results except
         #    "full"): "skipfori" drops the sweep, "prodonly" drops the
         #    one-hot selection --
         stage = cfg.get("_stage", "full")
+        predicate = cfg.get("predicate", True) and stage == "full"
+        NSC = 10
+        Dloc = m * ZL
 
         def zzh_body(zzh, _):
             for r in range(m):
                 j_h = r + m * zzh
-                selw = [[None] * Sp for _ in range(nfam)]
-                for sv in range(m):
-                    aidx = r * NS + s_pos[sv]
-                    asl = ast_ref[aidx, pl.ds(zzh, TPHx)]
-                    for zzw in range(ZLc):
-                        j_w = sv + m * zzw
-                        a_sl = asl[:, :, zzw:zzw + TPWx]
-                        vals = [tapsum(jnp.sum(v0w * a_sl, axis=1))]
-                        for ei in range(nX):
-                            xidx = (ei * m + r) * m + sv
-                            xs = xst_ref[pl.ds(zzh, TPH), xidx,
-                                         zzw:zzw + TPW]
-                            if stride0 > 1:
-                                xs = xs[::stride0, ::stride0]
-                            vals.append(xs)
-                        if stage == "prodonly":
-                            for fam in range(nfam):
-                                acc_ref[fam * Sp * Sp] += vals[fam]
-                            continue
-                        for uw in range(Sp):
-                            mw = (l0w == (j_w - uw)).astype(jnp.float32)
-                            for fam in range(nfam):
-                                v = mw * vals[fam]
-                                cur = selw[fam][uw]
-                                selw[fam][uw] = (v if cur is None
-                                                 else cur + v)
-                if stage == "prodonly":
-                    continue
-                for uh in range(Sp):
-                    mh = (l0h == (j_h - uh)).astype(jnp.float32)
-                    for fam in range(nfam):
-                        for uw in range(Sp):
-                            k = (fam * Sp + uh) * Sp + uw
-                            acc_ref[k] += mh * selw[fam][uw]
+
+                def row_body(r=r, j_h=j_h):
+                    if stage != "prodonly":
+                        selw_ref[:] = jnp.zeros_like(selw_ref)
+                    for sv in range(m):
+                        aidx = r * NS + s_pos[sv]
+                        asl = ast_ref[aidx, pl.ds(zzh, TPHx)]
+                        for zzw in range(ZLc):
+                            j_w = sv + m * zzw
+
+                            def col_body(asl=asl, zzw=zzw, j_w=j_w,
+                                         sv=sv, r=r):
+                                a_sl = asl[:, :, zzw:zzw + TPWx]
+                                vals = [tapsum(jnp.sum(v0w * a_sl, axis=1))]
+                                for ei in range(nX):
+                                    xidx = (ei * m + r) * m + sv
+                                    xs = xst_ref[pl.ds(zzh, TPH), xidx,
+                                                 zzw:zzw + TPW]
+                                    if stride0 > 1:
+                                        xs = xs[::stride0, ::stride0]
+                                    vals.append(xs)
+                                if stage == "prodonly":
+                                    for fam in range(nfam):
+                                        acc_ref[fam * Sp * Sp] += vals[fam]
+                                    return
+                                for uw in range(Sp):
+                                    mw = (l0w == (j_w - uw)) \
+                                        .astype(jnp.float32)
+                                    for fam in range(nfam):
+                                        selw_ref[fam * Sp + uw] += \
+                                            mw * vals[fam]
+                            if predicate:
+                                pl.when(scal_ref[bh, p, t,
+                                                 NSC + Dloc + j_w] != 0)(
+                                    col_body)
+                            else:
+                                col_body()
+                    if stage == "prodonly":
+                        return
+                    for uh in range(Sp):
+                        mh = (l0h == (j_h - uh)).astype(jnp.float32)
+                        for fam in range(nfam):
+                            for uw in range(Sp):
+                                k = (fam * Sp + uh) * Sp + uw
+                                acc_ref[k] += mh * selw_ref[fam * Sp + uw]
+                if predicate:
+                    pl.when(scal_ref[bh, p, t, NSC + j_h] != 0)(row_body)
+                else:
+                    row_body()
             return 0
 
         if stage != "skipfori":
@@ -406,6 +435,9 @@ def _make_fwd_kernel(cfg):
                 d = jnp.where(valid, d, init_val)
                 out_ref[0, 0, 0, i * ws + j] = d
 
+        if save_acc:
+            accout_ref[0, 0, 0] = acc_ref[...]
+
     return kernel, dm
 
 
@@ -418,6 +450,16 @@ def _fwd_pallas_call(cfg, v0e, v1p, scal, l0h, l0w, th, tw, ctrh, ctrw,
     qspec = pl.BlockSpec((1, 1, 1, TH, TW),
                          lambda bh, p, t, *_: (bh, p, t, 0, 0),
                          memory_space=pltpu.VMEM)
+    save_acc = bool(cfg.get("save_acc", False))
+    nacc = dm["nfam"] * cfg["Sp"] * cfg["Sp"]
+    dspec = pl.BlockSpec(
+        (1, 1, 1, ws * ws, TH, TW),
+        lambda bh, p, t, *_: (bh, p, t, 0, 0, 0),
+        memory_space=pltpu.VMEM)
+    accspec = pl.BlockSpec(
+        (1, 1, 1, nacc, TH, TW),
+        lambda bh, p, t, *_: (bh, p, t, 0, 0, 0),
+        memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(BH, P, nT),
@@ -426,10 +468,7 @@ def _fwd_pallas_call(cfg, v0e, v1p, scal, l0h, l0w, th, tw, ctrh, ctrw,
             pl.BlockSpec(memory_space=pl.ANY),   # v1p
             qspec, qspec, qspec, qspec, qspec, qspec, qspec, qspec,
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, 1, ws * ws, TH, TW),
-            lambda bh, p, t, *_: (bh, p, t, 0, 0, 0),
-            memory_space=pltpu.VMEM),
+        out_specs=(dspec, accspec) if save_acc else dspec,
         scratch_shapes=[
             pltpu.VMEM((dm["TPHx"], F, dm["VWc"]), jnp.float32),
             pltpu.VMEM((dm["RH"], F, dm["RWc"]), jnp.float32),
@@ -439,11 +478,16 @@ def _fwd_pallas_call(cfg, v0e, v1p, scal, l0h, l0w, th, tw, ctrh, ctrw,
             pltpu.VMEM((dm["XFH"], dm["NXST"], dm["XFW"]), jnp.float32),
             pltpu.VMEM((dm["nfam"] * cfg["Sp"] * cfg["Sp"], TH, TW),
                        jnp.float32),
+            pltpu.VMEM((dm["nfam"] * cfg["Sp"], TH, TW), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ])
     out_shape = jax.ShapeDtypeStruct((BH, P, nT, ws * ws, TH, TW),
                                      jnp.float32)
+    if save_acc:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((BH, P, nT, nacc, TH, TW),
+                                          jnp.float32))
     return pl.pallas_call(
         kernel, out_shape=out_shape, grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
@@ -611,8 +655,8 @@ def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
                       dist_type="l2", dilation=1, full_ws=True,
                       use_adj=False, itype="float", flow_budget=8,
                       spread_budget=8, tile=None, interpret=None,
-                      row0=0, col0=0, padded_vids=None,
-                      _stage="full"):
+                      row0=0, col0=0, padded_vids=None, save_acc="auto",
+                      _stage="full", _bskip="", predicate=True):
     """Pallas-kernel NLS volume. Returns (dists [B,HD,T,W_t,ws,ws,nH,nW],
     inds3 [3,...], outliers [B,HD,T,W_t,nH,nW]).
 
@@ -665,8 +709,17 @@ def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
 
     cfg = dict(geo, ws=ws, ps=ps, stride0=stride0, stride1=stride1,
                dist_type=dist_type, is_int=is_int, TH=TH, TW=TW, F=Fp,
-               H=H, W=W, _stage=_stage)
+               H=H, W=W, _stage=_stage, _bskip=_bskip,
+               predicate=predicate)
     dmw = kernel_dims(cfg)
+    if save_acc == "auto":
+        # save the selected corner-window volume as a bwd residual when it
+        # fits comfortably in HBM (skips the bwd's recompute sweep);
+        # callers with many streamed bands pass an explicit bool
+        acc_bytes = (BH * P * nT * dmw["nfam"] * geo["Sp"] ** 2
+                     * TH * TW * 4)
+        save_acc = acc_bytes <= (3 << 29)       # 1.5 GB
+    cfg["save_acc"] = bool(save_acc) and stride0 == 1
 
     ty0 = (row0 + jnp.arange(nT, dtype=jnp.int32) * TH) * stride0
     WINh = m * (ty0[None, None] - t0s) + oh_t     # [BH, P, nT]
@@ -701,6 +754,21 @@ def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
     cv0_b = jnp.broadcast_to(jnp.asarray(cv0r, jnp.int32), r0.shape)
     scal = jnp.stack([r0, wmodh, ti_b, tj_b, tyv_b, cw0r, wmodw,
                       dc1, dc0_b, cv0_b], axis=-1).astype(jnp.int32)
+    # per-tile shift-activity bits: shift j is live iff some query in the
+    # tile has l0 in (j - Sp, j] — the kernel pl.when-skips dead shifts
+    # (indices 10..10+Dloc-1 rows, then Dkc cols)
+    Dloc_, Dkc_ = geo["Dloc"], geo["Dkc"]
+    l0hf = l0h.reshape(BH, P, nT, -1)
+    l0wf = prep["l0w"].reshape(BH, P, nT, -1)
+    rowact = jnp.stack(
+        [jnp.any((l0hf > j - Sp) & (l0hf <= j), axis=-1)
+         for j in range(Dloc_)], axis=-1)
+    colact = jnp.stack(
+        [jnp.any((l0wf > j - Sp) & (l0wf <= j), axis=-1)
+         for j in range(Dkc_)], axis=-1)
+    scal = jnp.concatenate(
+        [scal, rowact.astype(jnp.int32), colact.astype(jnp.int32)],
+        axis=-1)
 
     d_t = _vol_op(_freeze(cfg), bool(interpret), v0p, v1p, scal,
                   l0h, prep["l0w"], to_tiles(th), to_tiles(tw),
@@ -767,23 +835,30 @@ def _freeze(cfg):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _vol_op(cfg, interpret, v0e, v1p, scal, l0h, l0w, th, tw,
             ctrh, ctrw, offh, offw):
-    return _fwd_pallas_call(cfg.d, v0e, v1p, scal, l0h, l0w, th, tw,
-                            ctrh, ctrw, offh, offw, interpret)
+    # primal-only path: never emit the save_acc residual
+    return _fwd_pallas_call(dict(cfg.d, save_acc=False), v0e, v1p, scal,
+                            l0h, l0w, th, tw, ctrh, ctrw, offh, offw,
+                            interpret)
 
 
 def _vol_fwd(cfg, interpret, v0e, v1p, scal, l0h, l0w, th, tw,
              ctrh, ctrw, offh, offw):
     out = _fwd_pallas_call(cfg.d, v0e, v1p, scal, l0h, l0w, th, tw,
                            ctrh, ctrw, offh, offw, interpret)
-    return out, (v0e, v1p, scal, l0h, l0w, th, tw, ctrh, ctrw, offh, offw)
+    accsaved = None
+    if cfg.d.get("save_acc", False):
+        out, accsaved = out
+    return out, (v0e, v1p, scal, l0h, l0w, th, tw, ctrh, ctrw, offh, offw,
+                 accsaved)
 
 
 def _vol_bwd(cfg, interpret, res, g):
     from stnls_tpu.ops.nls_pallas_bwd import vol_bwd_pallas
-    v0e, v1p, scal, l0h, l0w, th, tw, ctrh, ctrw, offh, offw = res
+    (v0e, v1p, scal, l0h, l0w, th, tw, ctrh, ctrw, offh, offw,
+     accsaved) = res
     g_v0e, g_v1p, g_th, g_tw = vol_bwd_pallas(
         cfg.d, interpret, g, v0e, v1p, scal, l0h, l0w, th, tw,
-        ctrh, ctrw, offh, offw)
+        ctrh, ctrw, offh, offw, accsaved=accsaved)
     return (g_v0e, g_v1p, None, None, None, g_th, g_tw, None, None,
             None, None)
 

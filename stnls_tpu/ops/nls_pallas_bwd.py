@@ -83,13 +83,27 @@ def _make_bwd_kernel(cfg):
                 acc = v if acc is None else acc + v
         return acc
 
+    predicate = cfg.get("predicate", True)
+    NSC = 10
+    Dloc = m * ZL
+    # perf-bisect knob (results WRONG unless empty): letters name phases
+    # to skip — a=fwd-sel recompute sweep, c=bwd selection sweep,
+    # d=X-field bwd, e=phase-image bwd, x=X-field recompute
+    bskip = cfg.get("_bskip", "")
+
+    save_acc = bool(cfg.get("save_acc", False))
+
     def kernel(scal_ref, g_ref, v0_ref, v1_ref, gv0z_ref, gv1z_ref,
                l0h_ref, l0w_ref, th_ref, tw_ref,
-               ctrh_ref, ctrw_ref, offh_ref, offw_ref,
-               gv0_ref, gv1_ref, gth_ref, gtw_ref,
-               v0w_ref, rawscr_ref, bst_ref, ast_ref, xst_ref, acc_ref,
-               gv0w_ref, gast_ref, gxst_ref, gacc_ref,
-               sem0, sem1, sem2, sem3):
+               ctrh_ref, ctrw_ref, offh_ref, offw_ref, *rest):
+        # with save_acc the forward's selected corner-window volume
+        # arrives as an input — phase A's selection sweep is skipped
+        if save_acc:
+            accin_ref, rest = rest[0], rest[1:]
+        (gv0_ref, gv1_ref, gth_ref, gtw_ref,
+         v0w_ref, rawscr_ref, bst_ref, ast_ref, xst_ref, acc_ref,
+         gv0w_ref, gast_ref, gxst_ref, gacc_ref, selw_ref,
+         sem0, sem1, sem2, sem3) = rest
         # buffer reuse (VMEM is tight): raw doubles as g_raw and bst as
         # g_bst — both are dead once the phase images are built.
         graw_ref = rawscr_ref
@@ -143,7 +157,7 @@ def _make_bwd_kernel(cfg):
                     acc_a = v if acc_a is None else acc_a + v
                 ast_ref[r_pos[r] * NS + s_pos[sv]] = acc_a
 
-        for ei, e in enumerate(x_es):
+        for ei, e in enumerate(x_es if "x" not in bskip else []):
             for r in range(m):
                 for sv in range(m):
                     a0 = ast_ref[r_pos[r] * NS + s_pos[sv]]
@@ -161,42 +175,63 @@ def _make_bwd_kernel(cfg):
 
         l0h = l0h_ref[0, 0, 0]
         l0w = l0w_ref[0, 0, 0]
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+        if not save_acc:
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
         def fwd_sel_body(zzh, _):
             for r in range(m):
                 j_h = r + m * zzh
-                selw = [[None] * Sp for _ in range(nfam)]
-                for sv in range(m):
-                    aidx = r * NS + s_pos[sv]
-                    asl = ast_ref[aidx, pl.ds(zzh, TPHx)]
-                    for zzw in range(ZLc):
-                        j_w = sv + m * zzw
-                        a_sl = asl[:, :, zzw:zzw + TPWx]
-                        vals = [tapsum(jnp.sum(v0w * a_sl, axis=1))]
-                        for ei in range(nX):
-                            xidx = (ei * m + r) * m + sv
-                            vals.append(xst_ref[pl.ds(zzh, TPH), xidx,
+
+                def row_body(r=r, j_h=j_h):
+                    selw_ref[:] = jnp.zeros_like(selw_ref)
+                    for sv in range(m):
+                        aidx = r * NS + s_pos[sv]
+                        asl = ast_ref[aidx, pl.ds(zzh, TPHx)]
+                        for zzw in range(ZLc):
+                            j_w = sv + m * zzw
+
+                            def col_body(asl=asl, zzw=zzw, j_w=j_w,
+                                         sv=sv, r=r):
+                                a_sl = asl[:, :, zzw:zzw + TPWx]
+                                vals = [tapsum(jnp.sum(v0w * a_sl, axis=1))]
+                                for ei in range(nX):
+                                    xidx = (ei * m + r) * m + sv
+                                    vals.append(
+                                        xst_ref[pl.ds(zzh, TPH), xidx,
                                                 zzw:zzw + TPW])
-                        for uw in range(Sp):
-                            mw = (l0w == (j_w - uw)).astype(jnp.float32)
-                            for fam in range(nfam):
-                                v = mw * vals[fam]
-                                cur = selw[fam][uw]
-                                selw[fam][uw] = (v if cur is None
-                                                 else cur + v)
-                for uh in range(Sp):
-                    mh = (l0h == (j_h - uh)).astype(jnp.float32)
-                    for fam in range(nfam):
-                        for uw in range(Sp):
-                            k = (fam * Sp + uh) * Sp + uw
-                            acc_ref[k] += mh * selw[fam][uw]
+                                for uw in range(Sp):
+                                    mw = (l0w == (j_w - uw)) \
+                                        .astype(jnp.float32)
+                                    for fam in range(nfam):
+                                        selw_ref[fam * Sp + uw] += \
+                                            mw * vals[fam]
+                            if predicate:
+                                pl.when(scal_ref[bh, p, t,
+                                                 NSC + Dloc + j_w] != 0)(
+                                    col_body)
+                            else:
+                                col_body()
+                    for uh in range(Sp):
+                        mh = (l0h == (j_h - uh)).astype(jnp.float32)
+                        for fam in range(nfam):
+                            for uw in range(Sp):
+                                k = (fam * Sp + uh) * Sp + uw
+                                acc_ref[k] += mh * selw_ref[fam * Sp + uw]
+                if predicate:
+                    pl.when(scal_ref[bh, p, t, NSC + j_h] != 0)(row_body)
+                else:
+                    row_body()
             return 0
 
-        lax.fori_loop(0, ZL, fwd_sel_body, 0)
+        if save_acc:
+            def accv(fam, uh, uw):
+                return accin_ref[0, 0, 0, (fam * Sp + uh) * Sp + uw]
+        else:
+            if "a" not in bskip:
+                lax.fori_loop(0, ZL, fwd_sel_body, 0)
 
-        def accv(fam, uh, uw):
-            return acc_ref[(fam * Sp + uh) * Sp + uw]
+            def accv(fam, uh, uw):
+                return acc_ref[(fam * Sp + uh) * Sp + uw]
 
         # ---------------- B. assembly backward ----------------
         th = th_ref[0, 0, 0]
@@ -260,52 +295,71 @@ def _make_bwd_kernel(cfg):
         def bwd_sel_body(zzh, _):
             for r in range(m):
                 j_h = r + m * zzh
-                # row-selected cotangents per (fam, uw)
-                grow = [[None] * Sp for _ in range(nfam)]
-                for uh in range(Sp):
-                    mh = (l0h == (j_h - uh)).astype(jnp.float32)
-                    for fam in range(nfam):
-                        for uw in range(Sp):
-                            k = (fam * Sp + uh) * Sp + uw
-                            v = mh * gacc_ref[k]
-                            cur = grow[fam][uw]
-                            grow[fam][uw] = v if cur is None else cur + v
-                for sv in range(m):
-                    aidx = r * NS + s_pos[sv]
-                    asl = ast_ref[aidx, pl.ds(zzh, TPHx)]
-                    for zzw in range(ZLc):
-                        j_w = sv + m * zzw
-                        gcc = None
-                        gxs = [None] * nX
-                        for uw in range(Sp):
-                            mw = (l0w == (j_w - uw)).astype(jnp.float32)
-                            v = mw * grow[0][uw]
-                            gcc = v if gcc is None else gcc + v
-                            for ei in range(nX):
-                                vx = mw * grow[1 + ei][uw]
-                                gxs[ei] = vx if gxs[ei] is None \
-                                    else gxs[ei] + vx
-                        # CC backward: transpose tap-sum, then product rule
-                        gp = tapsum_T(gcc, TPHx, TPWx)[:, None, :]
-                        a_sl = asl[:, :, zzw:zzw + TPWx]
-                        gv0w_ref[:, :, c_lo:c_lo + TPWx] += gp * a_sl
-                        gprev = gast_ref[aidx, pl.ds(zzh, TPHx), :,
-                                         zzw:zzw + TPWx]
-                        gast_ref[aidx, pl.ds(zzh, TPHx), :,
-                                 zzw:zzw + TPWx] = gprev + gp * v0w
-                        # X backward into the field cotangent
-                        for ei in range(nX):
-                            xidx = (ei * m + r) * m + sv
-                            gxp = gxst_ref[pl.ds(zzh, TPH), xidx,
-                                           zzw:zzw + TPW]
-                            gxst_ref[pl.ds(zzh, TPH), xidx,
-                                     zzw:zzw + TPW] = gxp + gxs[ei]
+
+                def row_body(r=r, j_h=j_h):
+                    # row-selected cotangents per (fam, uw)
+                    grow = [[None] * Sp for _ in range(nfam)]
+                    for uh in range(Sp):
+                        mh = (l0h == (j_h - uh)).astype(jnp.float32)
+                        for fam in range(nfam):
+                            for uw in range(Sp):
+                                k = (fam * Sp + uh) * Sp + uw
+                                v = mh * gacc_ref[k]
+                                cur = grow[fam][uw]
+                                grow[fam][uw] = (v if cur is None
+                                                 else cur + v)
+                    for sv in range(m):
+                        aidx = r * NS + s_pos[sv]
+                        asl = ast_ref[aidx, pl.ds(zzh, TPHx)]
+                        for zzw in range(ZLc):
+                            j_w = sv + m * zzw
+
+                            def col_body(asl=asl, zzw=zzw, j_w=j_w,
+                                         sv=sv, r=r, grow=grow):
+                                gcc = None
+                                gxs = [None] * nX
+                                for uw in range(Sp):
+                                    mw = (l0w == (j_w - uw)) \
+                                        .astype(jnp.float32)
+                                    v = mw * grow[0][uw]
+                                    gcc = v if gcc is None else gcc + v
+                                    for ei in range(nX):
+                                        vx = mw * grow[1 + ei][uw]
+                                        gxs[ei] = vx if gxs[ei] is None \
+                                            else gxs[ei] + vx
+                                # CC backward: transpose tap-sum + product
+                                gp = tapsum_T(gcc, TPHx, TPWx)[:, None, :]
+                                a_sl = asl[:, :, zzw:zzw + TPWx]
+                                gv0w_ref[:, :, c_lo:c_lo + TPWx] += \
+                                    gp * a_sl
+                                gprev = gast_ref[aidx, pl.ds(zzh, TPHx), :,
+                                                 zzw:zzw + TPWx]
+                                gast_ref[aidx, pl.ds(zzh, TPHx), :,
+                                         zzw:zzw + TPWx] = gprev + gp * v0w
+                                # X backward into the field cotangent
+                                for ei in range(nX):
+                                    xidx = (ei * m + r) * m + sv
+                                    gxp = gxst_ref[pl.ds(zzh, TPH), xidx,
+                                                   zzw:zzw + TPW]
+                                    gxst_ref[pl.ds(zzh, TPH), xidx,
+                                             zzw:zzw + TPW] = gxp + gxs[ei]
+                            if predicate:
+                                pl.when(scal_ref[bh, p, t,
+                                                 NSC + Dloc + j_w] != 0)(
+                                    col_body)
+                            else:
+                                col_body()
+                if predicate:
+                    pl.when(scal_ref[bh, p, t, NSC + j_h] != 0)(row_body)
+                else:
+                    row_body()
             return 0
 
-        lax.fori_loop(0, ZL, bwd_sel_body, 0)
+        if "c" not in bskip:
+            lax.fori_loop(0, ZL, bwd_sel_body, 0)
 
         # ---------------- D. X-field backward ----------------
-        for ei, e in enumerate(x_es):
+        for ei, e in enumerate([] if "d" in bskip else x_es):
             for r in range(m):
                 for sv in range(m):
                     gfe = gxst_ref[:, (ei * m + r) * m + sv, :]
@@ -336,14 +390,14 @@ def _make_bwd_kernel(cfg):
 
         # ---------------- E. phase-image build backward ----------------
         gbst_ref[:] = jnp.zeros_like(gbst_ref)
-        for r in r_need:
+        for r in (r_need if "e" not in bskip else []):
             for sv in s_need:
                 wc = _hat_weights_scalar(wmodw + sv, m, (0, 1, 2, 3))
                 ga = gast_ref[r_pos[r] * NS + s_pos[sv]]
                 for c in (0, 1, 2, 3):
                     gbst_ref[r_pos[r], :, :, c:c + AW] += wc[c] * ga
         graw_ref[:] = jnp.zeros_like(graw_ref)
-        for r in r_need:
+        for r in (r_need if "e" not in bskip else []):
             wh = _hat_weights_scalar(wmodh + r, m, (1, 2, 3))
             gb = gbst_ref[r_pos[r]]
             for k in (1, 2, 3):
@@ -375,11 +429,13 @@ def _make_bwd_kernel(cfg):
 
 
 def vol_bwd_pallas(cfg, interpret, g, v0e, v1p, scal, l0h, l0w, th, tw,
-                   ctrh, ctrw, offh, offw):
+                   ctrh, ctrw, offh, offw, accsaved=None):
     """Returns (g_v0e, g_v1p, g_th, g_tw)."""
     BH, P, nT = scal.shape[:3]
     TH, TW, F = cfg["TH"], cfg["TW"], cfg["F"]
     ws = cfg["ws"]
+    save_acc = bool(cfg.get("save_acc", False)) and accsaved is not None
+    cfg = dict(cfg, save_acc=save_acc)
     kernel, dm = _make_bwd_kernel(cfg)
     qspec = pl.BlockSpec((1, 1, 1, TH, TW),
                          lambda bh, p, t, *_: (bh, p, t, 0, 0),
@@ -387,12 +443,17 @@ def vol_bwd_pallas(cfg, interpret, g, v0e, v1p, scal, l0h, l0w, th, tw,
     gspec = pl.BlockSpec((1, 1, 1, ws * ws, TH, TW),
                          lambda bh, p, t, *_: (bh, p, t, 0, 0, 0),
                          memory_space=pltpu.VMEM)
+    nacc = dm["nfam"] * cfg["Sp"] * cfg["Sp"]
+    accspec = pl.BlockSpec((1, 1, 1, nacc, TH, TW),
+                           lambda bh, p, t, *_: (bh, p, t, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(BH, P, nT),
         in_specs=[gspec, any_spec, any_spec, any_spec, any_spec,
-                  qspec, qspec, qspec, qspec, qspec, qspec, qspec, qspec],
+                  qspec, qspec, qspec, qspec, qspec, qspec, qspec, qspec]
+        + ([accspec] if save_acc else []),
         out_specs=(any_spec, any_spec,
                    pl.BlockSpec((1, 1, 1, TH, TW),
                                 lambda bh, p, t, *_: (bh, p, t, 0, 0),
@@ -415,6 +476,7 @@ def vol_bwd_pallas(cfg, interpret, g, v0e, v1p, scal, l0h, l0w, th, tw,
             pltpu.VMEM((dm["XFH"], dm["NXST"], dm["XFW"]), jnp.float32),
             pltpu.VMEM((dm["nfam"] * cfg["Sp"] * cfg["Sp"], TH, TW),
                        jnp.float32),
+            pltpu.VMEM((dm["nfam"] * cfg["Sp"], TH, TW), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -430,14 +492,17 @@ def vol_bwd_pallas(cfg, interpret, g, v0e, v1p, scal, l0h, l0w, th, tw,
     gv1_zero = jnp.zeros(v1p.shape, jnp.float32)
     # inputs (after the scalar-prefetch arg): index 1 = g, 2 = v0e, 3 = v1p,
     # 4 = gv0_zero, 5 = gv1_zero -> aliased onto outputs 0, 1
+    operands = [scal, g.astype(jnp.float32), v0e, v1p, gv0_zero, gv1_zero,
+                l0h, l0w, th, tw, ctrh, ctrw, offh, offw]
+    if save_acc:
+        operands.append(accsaved)
     g_v0e, g_v1p, g_th_t, g_tw_t = pl.pallas_call(
         kernel, out_shape=out_shape, grid_spec=grid_spec,
         input_output_aliases={4: 0, 5: 1},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(scal, g.astype(jnp.float32), v0e, v1p, gv0_zero, gv1_zero,
-      l0h, l0w, th, tw, ctrh, ctrw, offh, offw)
+    )(*operands)
     # g_th arrives per-(pair, tile); the fwd consumed th in the same tiled
     # layout, so return as-is.
     return g_v0e, g_v1p, g_th_t, g_tw_t

@@ -15,5 +15,5 @@ launch grid. This package supplies the TPU-native scaling axes:
 
 from stnls_tpu.parallel.mesh import make_mesh, data_head_specs
 from stnls_tpu.parallel.shard import (
-    shard_search, TimeShardedSearch, time_sharded_search,
+    shard_search, TimeShardedSearch, time_sharded_search, halo_gather,
 )

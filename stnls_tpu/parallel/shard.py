@@ -56,6 +56,37 @@ def _halo_exchange(x, axis_name, halo):
     return jnp.concatenate([left, x, right], axis=2)
 
 
+def halo_gather(gather, v6, weights, inds, wt, time_axis="time"):
+    """Aggregation under temporal context parallelism WITHOUT
+    all-gathering the value video: search inds are time-bounded
+    (|dt| <= 2*wt from the boundary-shifted window, shared_kernel.cu
+    analog ops/geometry.time_window_frames), so a 2*wt-frame ring halo of
+    v suffices. Call inside shard_map with the T axis sharded on
+    `time_axis`.
+
+    gather:  NonLocalGather-like callable (vid, weights, inds) -> stack
+    v6:      [B,HD,T_local,F,H,W] local value shard
+    weights: [B,HD,T_local,nH,nW,K]
+    inds:    [B,HD,T_local,nH,nW,K,3] relative (dt,dh,dw) offsets
+    Returns the local stack [B,HD,K,T_local,F,H,W]. Per-device memory is
+    O(T_local + 4*wt) frames instead of O(T_global)."""
+    halo = 2 * wt
+    Tl = weights.shape[2]
+    if halo == 0:
+        return gather(v6, weights, inds)
+    v_h = _halo_exchange(v6, time_axis, halo)      # [B,HD,Tl+2h,...]
+    Th = Tl + 2 * halo
+
+    def pad_t(x):
+        z = jnp.zeros(x.shape[:2] + (Th,) + x.shape[3:], x.dtype)
+        return lax.dynamic_update_slice_in_dim(z, x, halo, axis=2)
+
+    # halo-frame query rows carry zero weights and only write their own
+    # (sliced-away) stack frames, so the crop below is exact
+    stack = gather(v_h, pad_t(weights), pad_t(inds))
+    return lax.slice_in_dim(stack, halo, halo + Tl, axis=3)
+
+
 def time_sharded_search(vid0, vid1, flows, mesh, *, ws, wt, ps, k,
                         stride0=1, stride1=1, dist_type="l2",
                         self_action=None, itype="float", time_axis="time",

@@ -258,9 +258,14 @@ def _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb):
     band_dtype = cfg.get("band_dtype", None)
 
     def body(xs):
+        from stnls_tpu.utils.debug import emit_count_warning
         band_flows, r0, c0 = xs
-        d, i3, _ = nls_pallas_volume(vid0, vid1, band_flows, row0=r0,
-                                     col0=c0, padded_vids=pv, **kw)
+        d, i3, outl = nls_pallas_volume(vid0, vid1, band_flows, row0=r0,
+                                        col0=c0, padded_vids=pv, **kw)
+        emit_count_warning(
+            jnp.sum(outl),
+            "NonLocalSearch pallas band: queries exceeded flow_budget/"
+            "spread_budget and carry init-valued dists")
         d, i = _self_action_topk(
             d, i3, self_action=cfg["self_action"],
             topk_mode=cfg["topk_mode"], k=cfg["k"], wt=cfg["wt"],
@@ -286,6 +291,31 @@ def _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb):
     return unband(d_b), unband(i_b)
 
 
+FLOW_BUDGET_BUCKETS = (8, 16, 32, 64, 128, 256)
+
+
+def resolve_flow_budget(budget, flows):
+    """Resolve flow_budget="auto" to a static bucket from the concrete
+    flows (reference exhaustiveness contract: the CUDA kernels search any
+    flow-shifted center, non_local_search_int_kernel.cu:127-141; the TPU
+    kernel's DMA windows need a static bound, so we derive it from the
+    data when it is concrete). Under tracing (user-jitted call), falls
+    back to the smallest bucket — out-of-budget queries are then flagged
+    in the kernel's outlier mask."""
+    if budget not in ("auto", None):
+        return int(budget)
+    try:
+        mx = float(jnp.max(jnp.abs(flows))) if flows.size else 0.0
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError):
+        return FLOW_BUDGET_BUCKETS[0]
+    need = int(np.ceil(mx)) + 1
+    for b in FLOW_BUDGET_BUCKETS:
+        if b >= need:
+            return b
+    return FLOW_BUDGET_BUCKETS[-1]
+
+
 def nls_pipeline(vid0, vid1, flows, cfg):
     """Full forward: search volume -> self_action -> top-K.
 
@@ -296,15 +326,19 @@ def nls_pipeline(vid0, vid1, flows, cfg):
     cfg["impl"] in {"auto","pallas","warp","lattice","cv"} forces.
     Large frames stream over query-row bands (memory-bounded, per-band
     top-K) instead of materializing the full search volume."""
+    if not isinstance(cfg.get("flow_budget", 8), (int, float)):
+        cfg = dict(cfg, flow_budget=resolve_flow_budget(
+            cfg["flow_budget"], flows))
     if _use_pallas_path(cfg, vid0.shape):
         from stnls_tpu.ops.nls_pallas import nls_pallas_volume
+        from stnls_tpu.utils.debug import emit_count_warning
         nH = flows.shape[-2] if flows.ndim >= 7 else vid0.shape[-2]
         nW = flows.shape[-1] if flows.ndim >= 7 else vid0.shape[-1]
         n_rb, n_cb = _pick_n_bands(cfg, vid0.shape, nH, nW)
         if (n_rb > 1 or n_cb > 1) and cfg["topk_mode"] != "none" \
                 and cfg["k"] > 0:
             return _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb)
-        dists, inds3, _ = nls_pallas_volume(
+        dists, inds3, outliers = nls_pallas_volume(
             vid0, vid1, flows, ws=cfg["ws"], wt=cfg["wt"], ps=cfg["ps"],
             stride0=cfg["stride0"], stride1=cfg["stride1"],
             dist_type=cfg["dist_type"], dilation=cfg["dilation"],
@@ -313,6 +347,12 @@ def nls_pipeline(vid0, vid1, flows, cfg):
             flow_budget=cfg.get("flow_budget", 8),
             spread_budget=cfg.get("spread_budget", 8),
             tile=cfg.get("cv_tile", None))
+        emit_count_warning(
+            jnp.sum(outliers),
+            "NonLocalSearch pallas path: queries exceeded flow_budget="
+            f"{cfg.get('flow_budget', 8)}/spread_budget="
+            f"{cfg.get('spread_budget', 8)} and carry init-valued dists; "
+            "raise the budgets or use flow_budget='auto'")
     elif _use_cv_path(cfg, vid0.shape):
         from stnls_tpu.ops.nls_cv import nls_cv_volume
         dists, inds3, _ = nls_cv_volume(
@@ -400,7 +440,7 @@ class NonLocalSearch:
                  topk_mode="all", ws_interior=0, reflect_bounds=True,
                  full_ws=True, use_adj=False, normalize_bwd=False, k_agg=-1,
                  off_Hq=0, off_Wq=0, strideQ=None, itype="float",
-                 impl="auto", flow_budget=8, cv_tile=None,
+                 impl="auto", flow_budget="auto", cv_tile=None,
                  spread_budget=8, qchunk=None, band_dtype=None):
         self.cfg = dict(
             ws=ws, wt=wt, ps=ps, k=k, nheads=nheads, stride0=stride0,
@@ -414,7 +454,19 @@ class NonLocalSearch:
             band_dtype=band_dtype)
         for key, val in self.cfg.items():
             setattr(self, key, val)
-        self._fn = _make_grad_policy_fn(self.cfg)
+        # flow_budget="auto" resolves per call from the concrete flows;
+        # cache one jitted pipeline per resolved (bucketed) budget
+        self._fns = {}
+        self._fn = self._get_fn(
+            flow_budget if isinstance(flow_budget, (int, float)) else
+            FLOW_BUDGET_BUCKETS[0])
+
+    def _get_fn(self, budget):
+        budget = int(budget)
+        if budget not in self._fns:
+            self._fns[budget] = _make_grad_policy_fn(
+                dict(self.cfg, flow_budget=budget))
+        return self._fns[budget]
 
     def __call__(self, *args):
         assert self.ws > 0, "Must have nonzero spatial search window"
@@ -430,7 +482,8 @@ class NonLocalSearch:
             flows = empty_flows(vid0s, self.wt, self.stride0)
         vid0, vid1 = shape_vids(self.nheads, [vid0, vid1])
         flows = shape_flows(self.nheads, flows)
-        return self._fn(vid0, vid1, flows)
+        fn = self._get_fn(resolve_flow_budget(self.flow_budget, flows))
+        return fn(vid0, vid1, flows)
 
     forward = __call__
 
@@ -473,7 +526,7 @@ def extract_config(cfg, restrict=True):
              "normalize_bwd": False, "k_agg": -1, "topk_mode": "all",
              "off_Hq": 0, "off_Wq": 0, "strideQ": None, "itype": "float",
              "impl": "auto", "flow_budget": 8, "spread_budget": 8,
-             "qchunk": None, "band_dtype": None}
+             "cv_tile": None, "qchunk": None, "band_dtype": None}
     return extract_pairs(cfg, pairs, restrict=restrict)
 
 
@@ -487,4 +540,7 @@ def init(cfg):
         reflect_bounds=cfg.reflect_bounds, full_ws=cfg.full_ws,
         use_adj=cfg.use_adj, normalize_bwd=cfg.normalize_bwd,
         k_agg=cfg.k_agg, off_Hq=cfg.off_Hq, off_Wq=cfg.off_Wq,
-        strideQ=cfg.strideQ, itype=cfg.itype)
+        strideQ=cfg.strideQ, itype=cfg.itype,
+        impl=cfg.impl, flow_budget=cfg.flow_budget, cv_tile=cfg.cv_tile,
+        spread_budget=cfg.spread_budget, qchunk=cfg.qchunk,
+        band_dtype=cfg.band_dtype)

@@ -1,0 +1,57 @@
+"""Flag-gated runtime checks (TPU analog of the reference's defensive
+asserts: NaN checks at lib/stnls/agg/gather.py:124,149, counts>0 at
+gather.py:141, reflect_bounds_warning at search/shared.py:29-34).
+
+XLA has no device-side asserts; when enabled these insert host callbacks
+(`jax.debug.callback`) that warn/raise after the fact. Off by default —
+the callbacks cost a device->host sync, so enable only while debugging:
+
+    stnls_tpu.utils.debug.set_debug_checks(True)
+"""
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+
+_DEBUG_CHECKS = False
+
+
+def set_debug_checks(enabled):
+    """Globally enable/disable runtime debug checks. Takes effect at trace
+    time: functions already jitted keep whatever state was set when they
+    were first traced."""
+    global _DEBUG_CHECKS
+    _DEBUG_CHECKS = bool(enabled)
+
+
+def debug_checks_enabled():
+    return _DEBUG_CHECKS
+
+
+def _warn_cb(count, msg):
+    count = int(count)
+    if count > 0:
+        warnings.warn(f"stnls_tpu debug check: {msg} ({count} hits)",
+                      RuntimeWarning, stacklevel=2)
+
+
+def emit_count_warning(count, msg):
+    """When debug checks are on, warn on host if `count` (a traced scalar)
+    is nonzero. No-op (and zero cost) otherwise."""
+    if _DEBUG_CHECKS:
+        jax.debug.callback(_warn_cb, count, msg)
+
+
+def check_finite(x, msg):
+    """Warn if `x` contains NaN/Inf (reference gather.py:124,149)."""
+    if _DEBUG_CHECKS:
+        bad = jnp.size(x) - jnp.sum(jnp.isfinite(x))
+        jax.debug.callback(_warn_cb, bad, msg)
+
+
+def check_positive(x, msg):
+    """Warn if any entry of `x` is <= 0 (reference gather.py:141)."""
+    if _DEBUG_CHECKS:
+        bad = jnp.sum(x <= 0)
+        jax.debug.callback(_warn_cb, bad, msg)

@@ -73,3 +73,43 @@ def test_data_sharded_runs():
     d_ref, i_ref = search(vid0, vid1, flows)
     np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_sh),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_halo_gather_matches_full_no_allgather():
+    """Time-CP aggregation via ring-halo (parallel.halo_gather) must match
+    a full-sequence NonLocalGather, run collective-light: no all_gather of
+    the value video appears in the program (VERDICT r1 #6)."""
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from stnls_tpu.parallel import halo_gather
+    from stnls_tpu.agg import NonLocalGather
+
+    B, HD, T, F, H, W, K = 1, 1, 8, 3, 8, 8, 4
+    ws, wt, ps = 3, 1, 1
+    vid0, vid1, flows = make_data(B, HD, T, F, H, W, wt, seed=3)
+    search = NonLocalSearch(ws, wt, ps, K, stride0=1, dist_type="l2",
+                            itype="float")
+    d, inds = search(vid0, vid1, flows)
+    w = jax.nn.softmax(-10. * d, axis=-1)
+    gather = NonLocalGather(ps=ps, stride0=1)
+    stack_ref = gather(vid1, w, inds)
+
+    n = 2
+    mesh = make_mesh({"time": n}, devices=jax.devices()[:n])
+
+    def local(v6, w_l, i_l):
+        return halo_gather(gather, v6, w_l, i_l, wt)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(None, None, "time"), P(None, None, "time"),
+                             P(None, None, "time")),
+                   out_specs=P(None, None, None, "time"),
+                   check_vma=False)
+    stack_sh = fn(vid1, w, inds)
+    np.testing.assert_allclose(np.asarray(stack_ref), np.asarray(stack_sh),
+                               rtol=1e-4, atol=1e-4)
+    # collective audit: halo ppermute only, no all_gather of v
+    jaxpr = str(jax.make_jaxpr(fn)(vid1, w, inds))
+    assert "all_gather" not in jaxpr
+    assert "ppermute" in jaxpr

@@ -1,0 +1,88 @@
+"""Reference-style combinatorial knob grid for the full NonLocalSearch
+module (reference tests/search/test_non_local_search_bilin2d.py:41-53
+builds the same grid via pytest_generate_tests over
+ps x stride0 x stride1 x k x nheads x dist_type x itype).
+
+Each combo runs the public module (search volume -> top-K) against the
+independent numpy ground truth + numpy sort — so topk/nheads plumbing is
+covered, not just the volume engine."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from stnls_tpu.search import NonLocalSearch
+from stnls_tpu.testing.nls_gt import nls_search_gt
+
+
+def pytest_generate_tests(metafunc):
+    grid = {"ps": [1, 3], "stride0": [1, 2], "stride1": [1, 0.5],
+            "k": [-1, 5], "nheads": [1, 2],
+            "dist_type": ["l2", "prod"], "itype": ["float", "int"]}
+    for key, vals in grid.items():
+        if key in metafunc.fixturenames:
+            metafunc.parametrize(key, vals)
+
+
+def test_module_grid_matches_gt(ps, stride0, stride1, k, nheads,
+                                dist_type, itype):
+    if itype == "int" and stride1 == 0.5:
+        pytest.skip("int path rounds stride1 up to 1 (duplicate combo)")
+    B, T, F, H, W = 1, 3, 2, 8, 8
+    ws, wt = 3, 1
+    HD = nheads
+    rng = np.random.default_rng(hash((ps, stride0, k, nheads)) % 2**31)
+    vid0 = rng.standard_normal((B, T, HD * F, H, W)).astype(np.float32)
+    vid1 = rng.standard_normal((B, T, HD * F, H, W)).astype(np.float32)
+    nH = (H - 1) // stride0 + 1
+    nW = (W - 1) // stride0 + 1
+    W_t = 2 * wt + 1
+    flows = 1.5 * rng.standard_normal(
+        (B, T, W_t - 1, 2, nH, nW)).astype(np.float32)
+    if itype == "int":
+        flows = np.round(flows)
+
+    search = NonLocalSearch(ws, wt, ps, k, nheads=nheads, stride0=stride0,
+                            stride1=stride1, dist_type=dist_type,
+                            itype=itype, topk_mode="all", impl="lattice")
+    d, i = search(jnp.asarray(vid0), jnp.asarray(vid1), jnp.asarray(flows))
+
+    # ground truth: naive volume + numpy sort over the flattened window
+    v0h = vid0.reshape(B, T, HD, F, H, W).transpose(0, 2, 1, 3, 4, 5)
+    v1h = vid1.reshape(B, T, HD, F, H, W).transpose(0, 2, 1, 3, 4, 5)
+    d_gt, i_gt = nls_search_gt(v0h, v1h, flows[:, None], ws=ws, wt=wt,
+                               ps=ps, stride0=stride0, stride1=stride1,
+                               dist_type=dist_type, itype=itype)
+    S = W_t * ws * ws
+    d_gt = d_gt.reshape(B, HD, T, nH, nW, S)
+    i_gt = i_gt.reshape(B, HD, T, nH, nW, S, 3)
+    desc = dist_type == "prod"
+    darr = np.asarray(d, np.float64)
+    if k <= 0:
+        # k<=0 skips top-K entirely (reference semantics): the module
+        # returns raw volume order — compare as sorted multisets
+        d_top = np.sort(d_gt, axis=-1)
+        darr = np.sort(darr, axis=-1)
+        if desc:
+            d_top = d_top[..., ::-1]
+            darr = darr[..., ::-1]
+    else:
+        order = np.argsort(-d_gt if desc else d_gt, axis=-1, kind="stable")
+        order = order[..., :k]
+        d_top = np.take_along_axis(d_gt, order, axis=-1)
+    assert darr.shape == d_top.shape
+    finite = np.isfinite(d_top)
+    np.testing.assert_allclose(darr[finite], d_top[finite],
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.isfinite(darr), finite)
+    # returned inds carry the matching distances (ties may reorder inds,
+    # so check dist-at-ind rather than ind equality): look the returned
+    # ind up in the GT volume (against the module's own, unsorted output)
+    darr = np.asarray(d, np.float64)
+    finite = np.isfinite(darr)
+    iarr = np.asarray(i, np.float64)
+    i_flat = i_gt[..., None, :, :]            # [..., 1, S, 3]
+    hit = np.isclose(iarr[..., None, :], i_flat, atol=1e-3).all(-1)
+    dist_at = np.where(hit, d_gt[..., None, :], np.nan)
+    best = np.nanmin(np.abs(dist_at - darr[..., None]), axis=-1)
+    assert (np.where(finite, best, 0.) < 2e-3).all()
