@@ -140,8 +140,17 @@ def _make_fwd_kernel(cfg):
     RH = TH + ZL
     THh = TH + 2 * hh
     c0 = padS
+    NSC = 3 + W_t                 # base of the activity words in scal
+    NW = n_cell_words(ZL, ZLc)
+    # fori mode trades unrolled Mosaic IR (compile time grows with
+    # ZLc*W_t) for fori_loops with traced column offsets (pltpu.roll-based
+    # lane access — dynamic minor-dim slices must be 128-divisible)
+    fori_zw = cfg.get("fori", "") in ("zw", "szw")
+    fori_s = cfg.get("fori", "") == "szw"
+    wtm = (W_t - 1) // 2
+    assert tuple(zt_vals) == tuple(range(-wtm, wtm + 1))
 
-    def kernel(scal_ref, v_ref, fld_ref, out_ref, vw_ref, fw_ref,
+    def kernel(scal_ref, v_ref, fld_ref, out_ref, vw_ref, fw_ref, csw_ref,
                sem0, sem1):
         bh = pl.program_id(0)
         t = pl.program_id(1)
@@ -161,43 +170,89 @@ def _make_fwd_kernel(cfg):
             k (per-k slabs were 10x more, 10x smaller ops)."""
             return fw_ref[:, FLD[name] * K:FLD[name] * K + K, :]
 
-        for s in range(W_t):
+        def csw_slab(zw):
+            # ref view (readable and writable in both loop modes)
+            return csw_ref.at[:, pl.ds(zw * K, K), :]
+
+        def loop_zw(body):
+            if fori_zw:
+                lax.fori_loop(0, ZLc, lambda zw, _: (body(zw), 0)[1], 0)
+            else:
+                for zw in range(ZLc):
+                    body(zw)
+
+        def frame_body(s, base, colw):
             tj = scal_ref[bh, t, ti, 3 + s]
             cpv = pltpu.make_async_copy(
                 v_ref.at[bh, tj, pl.ds(r0, RH)], vw_ref, sem0)
             cpv.start()
-            ztv = float(zt_vals[s])
+            ztv = ((s - wtm).astype(jnp.float32) if fori_s
+                   else float(zt_vals[s]))
             A = fld("w") * (fld("dt") == ztv).astype(jnp.float32)
             cpv.wait()
             # column rebase: local col 0 = global origin ow
             vw_ref[...] = pltpu.roll(vw_ref[...], shift=-ow, axis=2)
 
-            def zh_body(zh, _):
-                ohf = (oh + zh).astype(jnp.float32)
-                vrows = vw_ref[pl.ds(zh, TH)]          # [TH, F, RW]
-                _, _, rsel = _corner_masks(fld("fh"), ohf,
-                                           None if is_int else fld("th"),
-                                           is_int)
-                Rf = A * rsel                          # [THh, K, Wp]
-                for zw in range(ZLc):
+            # hoisted column selectors, live columns only (csel is
+            # zh-independent; computing it per cell was ~5x the FMA)
+            def cs_body(zw):
+                @pl.when((colw >> zw) & 1 != 0)
+                def _cs():
                     zwv = (ow + zw).astype(jnp.float32)
-                    _, _, csel = _corner_masks(fld("fw"), zwv,
-                                               None if is_int
-                                               else fld("tw"), is_int)
-                    M = Rf * csel
-                    # sparsity skip: each query uses <= 4K corners out of
-                    # the ZL*ZLc swept cells, so most (zh, zw) are empty —
-                    # the expensive FMA is predicated off for them
-                    @pl.when(jnp.max(jnp.abs(M)) > 0.)
-                    def _fma(M=M):
-                        Mt = _tapsum_fwd(M, taps, hh, TH)
-                        vz = vrows[:, :, c0 + zw:c0 + zw + TWp]
-                        out_ref[0, 0, 0] += \
-                            (Mt[:, :, None, :] * vz[:, None, :, :]) \
-                            .reshape(TH, K * F, TWp)
+                    _, _, csel = _corner_masks(
+                        fld("fw"), zwv,
+                        None if is_int else fld("tw"), is_int)
+                    csw_slab(zw)[...] = csel
+
+            loop_zw(cs_body)
+            roww = scal_ref[bh, t, ti, base + 1]
+
+            def zh_body(zh, _):
+                @pl.when((roww >> zh) & 1 != 0)
+                def _row():
+                    ohf = (oh + zh).astype(jnp.float32)
+                    vrows = vw_ref[pl.ds(zh, TH)]  # [TH, F, RW]
+                    _, _, rsel = _corner_masks(
+                        fld("fh"), ohf,
+                        None if is_int else fld("th"), is_int)
+                    Rf = A * rsel                  # [THh, K, Wp]
+
+                    def cell_body(zw):
+                        cidx = zh * ZLc + zw
+                        word = scal_ref[bh, t, ti, base + 2 + cidx // 31]
+
+                        @pl.when((word >> (cidx % 31)) & 1 != 0)
+                        def _fma():
+                            M = Rf * csw_slab(zw)[...]
+                            Mt = _tapsum_fwd(M, taps, hh, TH)
+                            if fori_zw:
+                                vz = pltpu.roll(vrows, shift=-(c0 + zw),
+                                                axis=2)[:, :, :TWp]
+                            else:
+                                vz = vrows[:, :, c0 + zw:c0 + zw + TWp]
+                            out_ref[0, 0, 0] += \
+                                (Mt[:, :, None, :] * vz[:, None, :, :]) \
+                                .reshape(TH, K * F, TWp)
+
+                    loop_zw(cell_body)
                 return 0
 
             lax.fori_loop(0, ZL, zh_body, 0)
+
+        def frame_at(s):
+            base = NSC + s * (2 + NW)
+            colw = scal_ref[bh, t, ti, base]
+
+            # whole frame dead (no col corner live) -> skip even the DMA
+            @pl.when(colw != 0)
+            def _frame():
+                frame_body(s, base, colw)
+
+        if fori_s:
+            lax.fori_loop(0, W_t, lambda s, _: (frame_at(s), 0)[1], 0)
+        else:
+            for s in range(W_t):
+                frame_at(s)
 
     return kernel, dict(RH=RH, THh=THh)
 
@@ -219,6 +274,7 @@ def _fwd_pallas_call(cfg, v1p, fldp, scal, interpret):
             pltpu.VMEM((dm["RH"], F, v1p.shape[-1]), jnp.float32),
             pltpu.VMEM((dm["THh"], fldp.shape[3], fldp.shape[-1]),
                        jnp.float32),
+            pltpu.VMEM((dm["THh"], cfg["ZLc"] * K, TWp), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ])
@@ -327,6 +383,93 @@ def agg_pallas_prep(vid_shape, weights, flows, *, ps, stride0, dilation,
     return prep
 
 
+def n_cell_words(ZL, ZLc):
+    """31-bit words holding the per-(zh,zw) cell activity bitmask."""
+    return -(-(ZL * ZLc) // 31)
+
+
+def activity_words(prep, zt_vals):
+    """Per-tile shift-activity bitmasks (the data-adaptive pruning the
+    reference gets for free from its one-thread-per-(query,k) launch,
+    gather_int_kernel.cu:49-92). For every (tile, frame offset) emit
+    int32 words [colword, rowword, cells...]: bit zw of colword = some
+    edge has a col corner at zw; bit zh of rowword likewise; cell bit
+    (zh*ZLc+zw) = some edge hits BOTH corners there. The kernels test
+    these scalars and skip the dense selector/FMA work for dead cells
+    (~92% at smooth-flow configs). Conservative by construction: counts
+    every edge (weight- and fraction-free, so zero-weight / integer-flow
+    corners keep their grads), built from budget-clipped floors (spilled
+    edges are outlier-flagged and contractually zero).
+
+    Returns [BH, T, nT, W_t*(2+NW)] int32."""
+    geo = prep["geo"]
+    ZL, ZLc, R, hh = geo["ZL"], geo["ZLc"], geo["R"], geo["hh"]
+    assert ZL <= 31 and ZLc <= 31, "activity words need ZL/ZLc <= 31"
+    NW = n_cell_words(ZL, ZLc)
+    B_, HD_ = prep["w"].shape[:2]
+    K, T, H, W = prep["K"], prep["T"], prep["H"], prep["W"]
+    TH, nT, BH, THh = prep["TH"], prep["nT"], prep["BH"], prep["THh"]
+    W_t = len(zt_vals)
+    wtm = (W_t - 1) // 2
+    NA = 2 * (R + 1) + 1           # absolute corner bins (value + R + 1)
+
+    fh_cl = jnp.clip(lax.stop_gradient(prep["fh"]), -(R + 1), R + 1)
+    fw_cl = jnp.clip(lax.stop_gradient(prep["fw"]), -(R + 1), R + 1)
+    a = (fh_cl + (R + 1)).astype(jnp.int32)        # [B,HD,K,T,H,W]
+    c = (fw_cl + (R + 1)).astype(jnp.int32)
+    s = jnp.clip(prep["dt"] + wtm, 0, W_t - 1).astype(jnp.int32)
+
+    # per-row joint histogram over (frame, row-bin, col-bin): 1-D
+    # scatter-add on a flat global index (multi-dim scatters scalarize)
+    row_id = (jnp.arange(B_ * HD_ * T * H, dtype=jnp.int32)
+              .reshape(B_, HD_, 1, T, H, 1))
+    gidx = ((row_id * W_t + s) * NA + a) * NA + c
+    nbins = B_ * HD_ * T * H * W_t * NA * NA
+    hist = jnp.zeros((nbins,), jnp.int32).at[gidx.reshape(-1)].add(
+        1, mode="drop").reshape(B_, HD_, T, H, W_t, NA, NA)
+
+    # OR over each tile's rows + halo
+    histp = jnp.pad(hist, ((0, 0),) * 3 + ((hh, hh),) + ((0, 0),) * 3)
+    tiles = jnp.stack(
+        [lax.dynamic_slice_in_dim(histp, i * TH, THh, axis=3)
+         for i in range(nT)], axis=3)              # [B,HD,nT,THh,...]
+    hit = jnp.any(tiles > 0, axis=4)               # [B,HD,T,nT,W_t,NA,NA]
+
+    # corner OR: an edge with floor bin a covers cells zh = a and a+1
+    pad_a = jnp.pad(hit, ((0, 0),) * 5 + ((1, 0), (0, 0)))[..., :-1, :]
+    h2 = hit | pad_a
+    pad_c = jnp.pad(h2, ((0, 0),) * 6 + ((1, 0),))[..., :-1]
+    h2 = h2 | pad_c                                # [B,HD,T,nT,W_t,NA,NA]
+
+    # rebase to the per-tile sweep window [oh, oh+ZL) x [ow, ow+ZLc)
+    oh_i = (prep["oh"] + (R + 1)).astype(jnp.int32)     # [B,HD,T,nT]
+    ow_i = (prep["ow"] + (R + 1)).astype(jnp.int32)
+    # h2 [B,HD,T,nT,W_t,NA,NA]; index axis 5 with [B,HD,T,nT,1,ZL,1]
+    idx_a = jnp.clip(oh_i[:, :, :, :, None, None, None]
+                     + jnp.arange(ZL, dtype=jnp.int32)[None, None, None,
+                                                       None, None, :, None],
+                     0, NA - 1)
+    g1 = jnp.take_along_axis(h2, idx_a, axis=5)    # [B,HD,T,nT,W_t,ZL,NA]
+    idx_c = jnp.clip(ow_i[:, :, :, :, None, None, None]
+                     + jnp.arange(ZLc, dtype=jnp.int32)[None, None, None,
+                                                        None, None, None, :],
+                     0, NA - 1)
+    live = jnp.take_along_axis(g1, idx_c, axis=6)  # [B,HD,T,nT,W_t,ZL,ZLc]
+    live = live.astype(jnp.int32)
+
+    colw = jnp.sum(jnp.max(live, axis=5)
+                   << jnp.arange(ZLc, dtype=jnp.int32), axis=-1)
+    roww = jnp.sum(jnp.max(live, axis=6)
+                   << jnp.arange(ZL, dtype=jnp.int32), axis=-1)
+    cells = live.reshape(live.shape[:5] + (ZL * ZLc,))
+    cells = jnp.pad(cells, ((0, 0),) * 5 + ((0, NW * 31 - ZL * ZLc),))
+    cells = cells.reshape(cells.shape[:5] + (NW, 31))
+    words = jnp.sum(cells << jnp.arange(31, dtype=jnp.int32), axis=-1)
+    out = jnp.concatenate(
+        [colw[..., None], roww[..., None], words], axis=-1)
+    return out.reshape(BH, T, nT, W_t * (2 + NW))
+
+
 def _pack_fields(prep):
     """Field pack [BH, T, nH + 2hh, NFLD*K8, Wp]: each field padded to an
     8-multiple K8 of slots so in-kernel channel slabs are sublane-aligned;
@@ -370,7 +513,7 @@ def nl_gather_stack_pallas(vid, weights, flows, *, ps, stride0=1, pt=1,
                            dilation=1, reflect_bounds_=True, use_adj=False,
                            itype="float", budget=16, spread=16,
                            wt_hint=None, tile=None, interpret=None,
-                           normalize=True):
+                           normalize=True, fori="auto"):
     """NonLocalGather via the fused Pallas kernel. Returns
     (stack [B,HD,K,T,F,H,W], outliers [B,HD,K,T,H,W])."""
     B, HD, T, F, H, W = vid.shape
@@ -403,10 +546,17 @@ def nl_gather_stack_pallas(vid, weights, flows, *, ps, stride0=1, pt=1,
     tjs = [jnp.broadcast_to(jnp.clip(t_idx + z, 0, T - 1), r0.shape)
            for z in zt_vals]
     scal = jnp.stack([r0, oh, ow] + tjs, axis=-1).astype(jnp.int32)
+    words = activity_words(prep, zt_vals)          # [BH,T,nT,W_t*(2+NW)]
+    scal = jnp.concatenate([scal, words], axis=-1)
 
+    if fori == "auto":
+        # unrolled IR is faster to run but compile time scales with
+        # ZLc*W_t copies of the cell body; switch to fori loops when the
+        # unroll would be large
+        fori = "szw" if geo["ZLc"] * W_t > 256 else ""
     K8 = -(-K // 8) * 8
     cfg = dict(geo, K=K, K8=K8, F=Fp, TH=TH, TWp=TWp, W_t=W_t,
-               zt_vals=tuple(zt_vals), is_int=prep["is_int"])
+               zt_vals=tuple(zt_vals), is_int=prep["is_int"], fori=fori)
 
     out_t = _agg_op(_freeze(cfg), bool(interpret), v1p, fldp, scal)
 

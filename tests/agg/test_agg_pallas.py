@@ -92,3 +92,35 @@ def test_agg_pallas_outlier_flagging():
     got, outl = nl_gather_stack_pallas(vid, w, fl, ps=1, stride0=1,
                                        itype="float", budget=4, spread=10)
     assert bool(jnp.any(outl))
+
+
+@pytest.mark.parametrize("fori", ["zw", "szw"])
+def test_agg_pallas_fori_modes_match(fori):
+    """The fori loop modes (compile-size lever for big ZLc*W_t configs)
+    must be numerically identical to the unrolled kernel — fwd and full
+    grads."""
+    vid, w, fl = make_data()
+    gd = jnp.asarray(np.random.default_rng(5).standard_normal(
+        (1, 1, 4, 3, 4, 24, 24)), jnp.float32)
+    ref = nl_gather_stack(vid, w, fl, ps=3, stride0=1, itype="float")
+
+    def run(mode):
+        def f(v, ww, fx):
+            out, _ = nl_gather_stack_pallas(
+                v, ww, fx, ps=3, stride0=1, itype="float", budget=4,
+                spread=10, fori=mode)
+            return jnp.sum(out * gd)
+        val, grads = jax.value_and_grad(f, (0, 1, 2))(vid, w, fl)
+        return val, grads
+
+    out_f, _ = nl_gather_stack_pallas(vid, w, fl, ps=3, stride0=1,
+                                      itype="float", budget=4, spread=10,
+                                      fori=fori)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    v0, g0 = run("")
+    v1, g1 = run(fori)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
