@@ -93,18 +93,26 @@ def search_flow(fflow, bflow, wt, stride0=1):
     h_ref = jnp.broadcast_to(h_ref, (B, T, nH, nW)).astype(fflow.dtype)
     w_ref = jnp.broadcast_to(w_ref, (B, T, nH, nW)).astype(fflow.dtype)
 
+    # per-step frame selection as a one-hot [T, T] matmul over the frame
+    # axis (the picks are static tables; a take_along_axis on the 5-D
+    # operand sends XLA-TPU down the scalarized gather path)
+    sel = np.zeros((W_t - 1, T, T), np.float32)
+    for si in range(1, W_t):
+        for ti in range(T):
+            sel[si - 1, ti, frame_pick[ti, si]] = 1.0
+    ff2 = fflow.reshape(B, T, -1)
+    bf2 = bflow.reshape(B, T, -1)
+
     def step(carry, si_arrs):
         h_curr, w_curr = carry
-        swap, fwd, pick = si_arrs
+        swap, fwd, m_sel = si_arrs
         # reset the walk when wrapping from the forward run to backward
         sw = swap[None, :, None, None]
         h_curr = jnp.where(sw, h_ref, h_curr)
         w_curr = jnp.where(sw, w_ref, w_curr)
         # select per-ti flow frame: fflow[tj-1] forward, bflow[tj+1] backward
-        ff = jnp.take_along_axis(
-            fflow, pick[None, :, None, None, None], axis=1)
-        bf = jnp.take_along_axis(
-            bflow, pick[None, :, None, None, None], axis=1)
+        ff = jnp.einsum("ij,bjc->bic", m_sel, ff2).reshape(fflow.shape)
+        bf = jnp.einsum("ij,bjc->bic", m_sel, bf2).reshape(fflow.shape)
         flow = jnp.where(fwd[None, :, None, None, None], ff, bf)
         dW, dH = _sample_flow(flow, h_curr, w_curr, H, W)
         h_curr = h_curr + dH
@@ -113,7 +121,7 @@ def search_flow(fflow, bflow, wt, stride0=1):
         return (h_curr, w_curr), out
 
     si_arrs = (jnp.asarray(swaps[:, 1:].T), jnp.asarray(use_fwd[:, 1:].T),
-               jnp.asarray(frame_pick[:, 1:].T))
+               jnp.asarray(sel))
     (_, _), outs = jax.lax.scan(step, (h_ref, w_ref), si_arrs)
     # outs [W_t-1,B,T,2,nH,nW] -> [B,T,W_t-1,2,nH,nW]
     return jnp.moveaxis(outs, 0, 2)
@@ -143,11 +151,17 @@ def accumulate_flow(fflow, bflow, stride0=1):
                 picks[k, ti] = min(max(tj, 0), T - 1)
                 valid[k, ti] = ok
 
+        # static one-hot frame select (see search_flow note)
+        sel = np.zeros((T - 1, T, T), np.float32)
+        for k in range(T - 1):
+            for ti in range(T):
+                sel[k, ti, picks[k, ti]] = 1.0
+        fl2 = flow.reshape(B, T, -1)
+
         def step(carry, arrs):
             h_curr, w_curr = carry
-            pick, ok = arrs
-            fl = jnp.take_along_axis(
-                flow, pick[None, :, None, None, None], axis=1)
+            m_sel, ok = arrs
+            fl = jnp.einsum("ij,bjc->bic", m_sel, fl2).reshape(flow.shape)
             dW, dH = _sample_flow(fl, h_curr, w_curr, H, W)
             okb = ok[None, :, None, None]
             h_new = jnp.where(okb, h_curr + dH, h_curr)
@@ -155,7 +169,7 @@ def accumulate_flow(fflow, bflow, stride0=1):
             out = jnp.stack([w_new - w_ref, h_new - h_ref], axis=2)
             return (h_new, w_new), out
 
-        arrs = (jnp.asarray(picks), jnp.asarray(valid))
+        arrs = (jnp.asarray(sel), jnp.asarray(valid))
         _, outs = jax.lax.scan(step, (h_ref, w_ref), arrs)
         return jnp.moveaxis(outs, 0, 2)  # [B,T,T-1,2,nH,nW]
 

@@ -517,7 +517,7 @@ def pallas_outliers(vid_shape, flows, *, ws, wt, ps, stride0, stride1,
 
 def _pallas_prep(vid_shape, flows, *, ws, wt, ps, stride0, stride1,
                  dilation, full_ws, use_adj, itype, flow_budget,
-                 spread_budget, tile, row0=0, col0=0):
+                 spread_budget, tile, row0=0, col0=0, T_win=None):
     """Shared geometry prep (centers, window offsets, lattice anchors,
     per-tile row rebasing, outlier flags) — pure jnp, no Pallas call.
 
@@ -543,7 +543,8 @@ def _pallas_prep(vid_shape, flows, *, ws, wt, ps, stride0, stride1,
     KHI = KLO + m * (2 * ZMAX + 1) - 1
     KLOc = -m * ZMAXc
     KHIc = KLOc + m * (2 * ZMAXc + 1) - 1   # global clip (flow budget)
-    W_t = min(2 * wt + 1, T)
+    Tq = flows.shape[2]           # query frames (== T unless time-chunked)
+    W_t = min(2 * wt + 1, T if T_win is None else T_win)
     nHq, nWq = num_queries(H, W, stride0)
     nH = flows.shape[-2]          # band rows (== nHq when unbanded)
     nW = flows.shape[-1]          # band cols (== nWq when unbanded)
@@ -590,7 +591,7 @@ def _pallas_prep(vid_shape, flows, *, ws, wt, ps, stride0, stride1,
     if is_int:
         th = jnp.zeros_like(th)
         tw = jnp.zeros_like(tw)
-    P = T * W_t
+    P = Tq * W_t
     Dkc = geo["Dkc"]
     k0h_t = k0h.reshape(BH, P, nT, TH, nW)
     oh_t = jnp.clip(jnp.min(k0h_t, axis=(3, 4)), KLO, KHI - Dloc + 1)
@@ -604,7 +605,7 @@ def _pallas_prep(vid_shape, flows, *, ws, wt, ps, stride0, stride1,
     l0w = k0w_t - ow_t[..., None, None]
     spill_c = (l0w < 0) | (l0w > Dkc - Sp)
     l0w = jnp.clip(l0w, 0, Dkc - Sp)
-    outliers = outliers | (spill | spill_c).reshape(B, HD, T, W_t, nH, nW)
+    outliers = outliers | (spill | spill_c).reshape(B, HD, Tq, W_t, nH, nW)
     return dict(geo=geo, stride1=stride1, is_int=is_int, W_t=W_t, nH=nH,
                 nW=nW, TH=TH, nT=nT, BH=BH, P=P, ctr_h=ctr_h, ctr_w=ctr_w,
                 off_h=off_h, off_w=off_w, th=th, tw=tw, l0h=l0h,
@@ -656,7 +657,8 @@ def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
                       use_adj=False, itype="float", flow_budget=8,
                       spread_budget=8, tile=None, interpret=None,
                       row0=0, col0=0, padded_vids=None, save_acc="auto",
-                      _stage="full", _bskip="", predicate=True):
+                      _stage="full", _bskip="", predicate=True,
+                      return_aux=False, query_t0=None, T_global=None):
     """Pallas-kernel NLS volume. Returns (dists [B,HD,T,W_t,ws,ws,nH,nW],
     inds3 [3,...], outliers [B,HD,T,W_t,nH,nW]).
 
@@ -664,7 +666,15 @@ def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
     band — the memory-bounded streaming path (SURVEY hard part #5) maps
     over bands so nothing search-volume-sized for the full frame is ever
     materialized. padded_vids (from pallas_pad_vids) lets the band loop
-    reuse one padded copy of the videos across bands."""
+    reuse one padded copy of the videos across bands.
+
+    query_t0 + T_global: temporal-chunk mode for time sharding (the
+    TPU-native analog of the reference's paired_vids streaming,
+    search/utils.py:339-382). vid0/vid1 then hold T_local + 2*halo local
+    frames, flows cover only the T_local query frames, and query_t0 (a
+    possibly-traced global index of the first local frame) drives the
+    boundary-shifted window tables — queries stay local, only the halo
+    rides the ICI ring (parallel/shard.py)."""
     B, HD, T, F, H, W = vid0.shape
     assert vid1.shape[-2:] == (H, W)
     if interpret is None:
@@ -676,7 +686,7 @@ def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
                         stride0=stride0, stride1=stride1, dilation=dilation,
                         full_ws=full_ws, use_adj=use_adj, itype=itype,
                         flow_budget=flow_budget, spread_budget=spread_budget,
-                        tile=tile, row0=row0, col0=col0)
+                        tile=tile, row0=row0, col0=col0, T_win=T_global)
     geo, stride1, is_int = prep["geo"], prep["stride1"], prep["is_int"]
     W_t, nH, nW = prep["W_t"], prep["nH"], prep["nW"]
     TH, nT, BH, P = prep["TH"], prep["nT"], prep["BH"], prep["P"]
@@ -695,10 +705,25 @@ def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
         """[B,HD,T,W_t,nH,nW] -> [BH, P, nT, TH, TW]."""
         return x.reshape(BH, P, nT, TH, TW)
 
-    # ---- per-tile DMA scalars + static frame-pair tables ----
-    tj_table = time_window_frames(T, wt)          # [T, W_t] np
-    t_tab = np.repeat(np.arange(T), W_t).astype(np.int32)
-    tj_tab = np.asarray(tj_table).reshape(-1).astype(np.int32)
+    # ---- per-tile DMA scalars + frame-pair tables ----
+    Tq = flows.shape[2] if flows.ndim >= 7 else T
+    if query_t0 is None:
+        tj_table = time_window_frames(T, wt)      # [T, W_t] np
+        t_tab = np.repeat(np.arange(T), W_t).astype(np.int32)
+        tj_tab = np.asarray(tj_table).reshape(-1).astype(np.int32)
+        dt_tab = jnp.asarray(np.asarray(tj_table)
+                             - np.arange(T)[:, None])
+    else:
+        # temporal chunk: window tables in GLOBAL frame coordinates,
+        # translated to local (halo-padded) indices; traced is fine — the
+        # kernel reads ti/tj from the prefetched scal
+        from stnls_tpu.ops.nls import time_window_frames_jnp
+        halo_t = (T - Tq) // 2
+        tq = query_t0 + jnp.arange(Tq, dtype=jnp.int32)
+        tjg = time_window_frames_jnp(tq, wt, T_global)   # [Tq, W_t]
+        t_tab = jnp.repeat(halo_t + jnp.arange(Tq, dtype=jnp.int32), W_t)
+        tj_tab = (tjg - query_t0 + halo_t).reshape(-1).astype(jnp.int32)
+        dt_tab = tjg - tq[:, None]
 
     # ---- padded videos, rows-major layout [BH, T, Hp, F, Wp] ----
     if padded_vids is None:
@@ -776,16 +801,21 @@ def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
                   to_tiles(off_h.astype(dtype)),
                   to_tiles(off_w.astype(dtype)))
 
-    # [BH, P, nT, ws*ws, TH, TW] -> [B,HD,T,W_t,ws,ws,nH,nW]
+    # [BH, P, nT, ws*ws, TH, TW] -> [B,HD,Tq,W_t,ws,ws,nH,nW]
     d = jnp.transpose(d_t.reshape(BH, P, nT, ws, ws, TH, TW),
                       (0, 1, 3, 4, 2, 5, 6)).reshape(
-        B, HD, T, W_t, ws, ws, nH, nW)
+        B, HD, Tq, W_t, ws, ws, nH, nW)
 
     _, _, init_val = dist_type_select(dist_type)
     inval = jnp.asarray(init_val, jnp.float32)
     d = jnp.where(outliers[:, :, :, :, None, None], inval, d)
 
     # ---- offsets (identical to the other paths) ----
+    # kept SEPARABLE: dt depends on (t, wt) only, dh on (.., wt, wi, y, x),
+    # dw on (.., wt, wj, y, x) — the full [3, B,HD,T,W_t,ws,ws,nH,nW]
+    # volume (~0.7 GB at the 128^2 bench config) is only materialized on
+    # demand (aux_to_inds3); the top-K pipeline gathers the K selected
+    # offsets straight from these small factors
     cdtype = jnp.int32 if is_int else vid0.dtype
     cells = jnp.arange(ws, dtype=dtype)
     s1c = jnp.asarray(stride1, dtype)
@@ -793,18 +823,32 @@ def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
                                               - off_h[:, :, :, :, None])
     prop_w = ctr_w[:, :, :, :, None] + s1c * (cells[:, None, None]
                                               - off_w[:, :, :, :, None])
-    dt = (jnp.asarray(tj_table) - np.arange(T)[:, None]).astype(cdtype)
-    dh = (prop_h - base_h[:, :, :, :, None])[:, :, :, :, :, None]
-    dw = (prop_w - base_w[:, :, :, :, None])[:, :, :, :, None, :]
-    shape8 = d.shape
-    inds3 = jnp.stack([
+    dt = dt_tab.astype(cdtype)                 # [Tq, W_t]
+    dh_s = prop_h - base_h[:, :, :, :, None]   # [B,HD,Tq,W_t,ws,nH,nW]
+    dw_s = prop_w - base_w[:, :, :, :, None]
+    if is_int:
+        dh_s = dh_s.astype(cdtype)
+        dw_s = dw_s.astype(cdtype)
+    aux = dict(dt_tab=dt, dh=dh_s, dw=dw_s, cdtype=cdtype)
+    d = d.astype(vid0.dtype)
+    if return_aux:
+        return d, aux, outliers
+    return d, aux_to_inds3(aux, d.shape), outliers
+
+
+def aux_to_inds3(aux, shape8):
+    """Materialize the full offset volume inds3 [3, B,HD,T,W_t,ws,ws,nH,nW]
+    from its separable factors (back-compat / fallback path)."""
+    cdtype = aux["cdtype"]
+    dt, dh_s, dw_s = aux["dt_tab"], aux["dh"], aux["dw"]
+    dh = dh_s[:, :, :, :, :, None]            # broadcast over wj
+    dw = dw_s[:, :, :, :, None, :]            # broadcast over wi
+    return jnp.stack([
         jnp.broadcast_to(dt[None, None, :, :, None, None, None, None],
                          shape8).astype(cdtype),
         jnp.broadcast_to(dh, shape8).astype(cdtype),
         jnp.broadcast_to(dw, shape8).astype(cdtype),
     ], axis=0)
-    d = d.astype(vid0.dtype)
-    return d, inds3, outliers
 
 
 class _Frozen:
@@ -853,7 +897,13 @@ def _vol_fwd(cfg, interpret, v0e, v1p, scal, l0h, l0w, th, tw,
 
 
 def _vol_bwd(cfg, interpret, res, g):
-    from stnls_tpu.ops.nls_pallas_bwd import vol_bwd_pallas
+    from stnls_tpu.ops.nls_pallas_bwd import vol_bwd_pallas, bwd_supported
+    if not bwd_supported(cfg.d):
+        raise NotImplementedError(
+            "Pallas search backward requires stride0 == 1 (got "
+            f"stride0={cfg.d['stride0']}); use impl='lattice' (autodiff) "
+            "for strided-grid gradients, or keep impl='pallas' "
+            "forward-only")
     (v0e, v1p, scal, l0h, l0w, th, tw, ctrh, ctrw, offh, offw,
      accsaved) = res
     g_v0e, g_v1p, g_th, g_tw = vol_bwd_pallas(

@@ -89,6 +89,101 @@ def _self_action_topk(dists, inds3, *, self_action, topk_mode, k, wt,
     return dists, inds
 
 
+def _flat_take(arr, idx):
+    """Gather via a single flat global index (multi-dim XLA gathers
+    scalarize on TPU; the 1-D operand form is the fast path)."""
+    return arr.reshape(-1)[idx]
+
+
+def _lazy_topk_ok(cfg):
+    return (cfg["self_action"] in (None, "anchor", "anchor_self")
+            and cfg["topk_mode"] == "all" and cfg["k"] > 0)
+
+
+def _pallas_topk_aux(dists, aux, *, self_action, k, dist_type):
+    """self_action + top-K over the pallas search volume WITHOUT
+    materializing the [3, B,HD,T,W_t,ws,ws,nH,nW] offset volume (~3x the
+    dists volume): offsets of the K winners are gathered from the
+    separable factors in `aux` (dt[t,wt] / dh[..,wt,wi,y,x] /
+    dw[..,wt,wj,y,x]) after selection. Semantics identical to
+    _self_action_topk for self_action in {None, anchor, anchor_self},
+    topk_mode="all", k>0 — including the anchor's lexicographically-first
+    argmin of |dt|+|dh|+|dw| (the additive terms are axis-independent, so
+    per-axis first-argmins compose to the flat first-argmin).
+
+    Returns reference layout (dists [B,HD,T,nH,nW,K],
+    inds [B,HD,T,nH,nW,K,3])."""
+    B, HD, T, W_t, ws, _, nH, nW = dists.shape
+    S = W_t * ws * ws
+    d = jnp.transpose(dists, (0, 1, 2, 6, 7, 3, 4, 5)) \
+        .reshape(B, HD, T, nH, nW, S)
+    cdtype = aux["cdtype"]
+    # [B,HD,T,W_t,ws,nH,nW] -> [B,HD,T,nH,nW,W_t,ws]
+    dh = jnp.transpose(aux["dh"], (0, 1, 2, 5, 6, 3, 4))
+    dw = jnp.transpose(aux["dw"], (0, 1, 2, 5, 6, 3, 4))
+    dt_tab = aux["dt_tab"]                        # [T, W_t]
+    _, descending, _ = dist_type_select(dist_type)
+
+    NQ = B * HD * T * nH * nW
+    qbase = jnp.arange(NQ, dtype=jnp.int32).reshape(B, HD, T, nH, nW, 1)
+    t_ids = jnp.arange(T, dtype=jnp.int32).reshape(1, 1, T, 1, 1, 1)
+
+    def gather_inds(s_sel):
+        wt_s = s_sel // (ws * ws)
+        wi = (s_sel % (ws * ws)) // ws
+        wj = s_sel % ws
+        i_h = _flat_take(dh, qbase * (W_t * ws) + wt_s * ws + wi)
+        i_w = _flat_take(dw, qbase * (W_t * ws) + wt_s * ws + wj)
+        i_t = _flat_take(dt_tab, t_ids * W_t + wt_s).astype(i_h.dtype)
+        return i_t, i_h, i_w
+
+    kk = min(k, S)
+    if self_action in ("anchor", "anchor_self"):
+        adh = jnp.abs(dh.astype(jnp.float32))
+        adw = jnp.abs(dw.astype(jnp.float32))
+        mh = jnp.min(adh, -1)
+        ah = jnp.argmin(adh, -1).astype(jnp.int32)   # [..,W_t]
+        mw = jnp.min(adw, -1)
+        aw = jnp.argmin(adw, -1).astype(jnp.int32)
+        tot = jnp.abs(dt_tab.astype(jnp.float32)) \
+            .reshape(1, 1, T, 1, 1, W_t) + mh + mw
+        wts = jnp.argmin(tot, -1).astype(jnp.int32)  # [B,HD,T,nH,nW]
+        ah_s = jnp.take_along_axis(ah, wts[..., None], -1)[..., 0]
+        aw_s = jnp.take_along_axis(aw, wts[..., None], -1)[..., 0]
+        self_idx = (wts * ws + ah_s) * ws + aw_s
+        s_ids = jnp.arange(S, dtype=jnp.int32)
+        is_self = s_ids == self_idx[..., None]
+        is_zero = s_ids == 0
+        d0 = d[..., :1]
+        dself = jnp.take_along_axis(d, self_idx[..., None], -1)
+        d_anch = jnp.where(is_zero, dself, jnp.where(is_self, d0, d))
+        if kk > 1:
+            key = d_anch[..., 1:] if descending else -d_anch[..., 1:]
+            _, order_r = jax.lax.top_k(key, kk - 1)
+            pos = order_r.astype(jnp.int32) + 1      # anchored slots
+            d_rest = jnp.take_along_axis(d_anch, pos, -1)
+            # the anchored slot self_idx holds the ORIGINAL slot-0 entry
+            s_sel = jnp.where(pos == self_idx[..., None], 0, pos)
+            dists_k = jnp.concatenate([dself, d_rest], -1)
+            i_t, i_h, i_w = gather_inds(s_sel)
+        else:
+            dists_k = dself
+            zsh = d.shape[:-1] + (0,)
+            i_t = i_h = i_w = jnp.zeros(zsh, jnp.float32)
+        zeros1 = jnp.zeros(d.shape[:-1] + (1,), i_h.dtype)
+        i_t = jnp.concatenate([zeros1, i_t.astype(i_h.dtype)], -1)
+        i_h = jnp.concatenate([zeros1, i_h], -1)
+        i_w = jnp.concatenate([zeros1, i_w], -1)
+    else:
+        key = d if descending else -d
+        _, order = jax.lax.top_k(key, kk)
+        s_sel = order.astype(jnp.int32)
+        dists_k = jnp.take_along_axis(d, s_sel, -1)
+        i_t, i_h, i_w = gather_inds(s_sel)
+    inds = jnp.stack([i_t, i_h, i_w], axis=-1).astype(cdtype)
+    return dists_k.astype(dists.dtype), inds
+
+
 def patch_fold_counts(H, W, ps, stride):
     """Pixel coverage counts of a ps x ps / stride patch fold (zero padding,
     center-cropped) — the normalize_bwd divisor (search/shared.py:59-97)."""
@@ -257,19 +352,27 @@ def _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb):
 
     band_dtype = cfg.get("band_dtype", None)
 
+    lazy = _lazy_topk_ok(cfg)
+
     def body(xs):
         from stnls_tpu.utils.debug import emit_count_warning
         band_flows, r0, c0 = xs
         d, i3, outl = nls_pallas_volume(vid0, vid1, band_flows, row0=r0,
-                                        col0=c0, padded_vids=pv, **kw)
+                                        col0=c0, padded_vids=pv,
+                                        return_aux=lazy, **kw)
         emit_count_warning(
             jnp.sum(outl),
             "NonLocalSearch pallas band: queries exceeded flow_budget/"
             "spread_budget and carry init-valued dists")
-        d, i = _self_action_topk(
-            d, i3, self_action=cfg["self_action"],
-            topk_mode=cfg["topk_mode"], k=cfg["k"], wt=cfg["wt"],
-            dist_type=cfg["dist_type"])
+        if lazy:
+            d, i = _pallas_topk_aux(
+                d, i3, self_action=cfg["self_action"], k=cfg["k"],
+                dist_type=cfg["dist_type"])
+        else:
+            d, i = _self_action_topk(
+                d, i3, self_action=cfg["self_action"],
+                topk_mode=cfg["topk_mode"], k=cfg["k"], wt=cfg["wt"],
+                dist_type=cfg["dist_type"])
         if band_dtype is not None:
             # opt-in half-precision band outputs: halves the HBM held by
             # the stacked per-band results on huge frames (1080p, T=10)
@@ -338,6 +441,7 @@ def nls_pipeline(vid0, vid1, flows, cfg):
         if (n_rb > 1 or n_cb > 1) and cfg["topk_mode"] != "none" \
                 and cfg["k"] > 0:
             return _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb)
+        lazy = _lazy_topk_ok(cfg)
         dists, inds3, outliers = nls_pallas_volume(
             vid0, vid1, flows, ws=cfg["ws"], wt=cfg["wt"], ps=cfg["ps"],
             stride0=cfg["stride0"], stride1=cfg["stride1"],
@@ -346,13 +450,17 @@ def nls_pipeline(vid0, vid1, flows, cfg):
             itype=cfg["itype"],
             flow_budget=cfg.get("flow_budget", 8),
             spread_budget=cfg.get("spread_budget", 8),
-            tile=cfg.get("cv_tile", None))
+            tile=cfg.get("cv_tile", None), return_aux=lazy)
         emit_count_warning(
             jnp.sum(outliers),
             "NonLocalSearch pallas path: queries exceeded flow_budget="
             f"{cfg.get('flow_budget', 8)}/spread_budget="
             f"{cfg.get('spread_budget', 8)} and carry init-valued dists; "
             "raise the budgets or use flow_budget='auto'")
+        if lazy:
+            return _pallas_topk_aux(
+                dists, inds3, self_action=cfg["self_action"], k=cfg["k"],
+                dist_type=cfg["dist_type"])
     elif _use_cv_path(cfg, vid0.shape):
         from stnls_tpu.ops.nls_cv import nls_cv_volume
         dists, inds3, _ = nls_cv_volume(
@@ -488,12 +596,21 @@ class NonLocalSearch:
     forward = __call__
 
     def flops(self, T, F, H, W):
-        nrefs = T * ((H - 1) // self.stride0 + 1) * ((W - 1) // self.stride0 + 1)
+        """Useful-work flop model (reference non_local_attn.py:226-252
+        pattern; the reference's own search.flops is dead code at
+        non_local_search.py:196-215). Accounts the bilinear path's
+        4-corner reads + lerps (nls_bilin2d.cu:25-89: 4 muls + 3 adds per
+        tap vs 1 mul + 1 add for int)."""
+        nrefs = T * ((H - 1) // self.stride0 + 1) \
+            * ((W - 1) // self.stride0 + 1)
         nsearch = self.ws * self.ws * (2 * self.wt + 1)
-        flops_per = 2 * F * self.ps * self.ps * self.pt
+        per_tap = 7 if self.itype == "float" else 2
+        flops_per = per_tap * F * self.ps * self.ps * self.pt
         total = nrefs * nsearch * flops_per * self.nheads
         if self.k > 0:
-            total += int(nrefs * nsearch * np.log(max(nsearch, 2)))
+            # lax.top_k partial selection ~ S log2(K) compares per query
+            total += int(nrefs * self.nheads * nsearch
+                         * np.log2(max(min(self.k, nsearch), 2)))
         return total
 
     def radius(self, *args):
