@@ -19,3 +19,6 @@ from stnls_tpu import graph_opts
 from stnls_tpu import utils
 from stnls_tpu import testing
 from stnls_tpu import flow
+from stnls_tpu import parallel
+from stnls_tpu import models
+from stnls_tpu import misc

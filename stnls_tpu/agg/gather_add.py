@@ -1,22 +1,73 @@
 """NonLocalGatherAdd: weighted patch sum into an output video.
 
 API parity with reference lib/stnls/agg/gather_add.py (the live
-"WeightedPatchSum into video" op); compute in ops.agg.nl_gather_add.
+"WeightedPatchSum into video" op); compute in ops.agg.nl_gather_add, with
+a fused-Pallas fast path (ops/agg_pallas.py) when the op degenerates to a
+K-reduced NonLocalGather (strideIn == strideOut == 1, pt == 1, default
+out size): the output video is the K-sum of the gather stack under the
+same overlap-count normalization (gather_add_kernel.cu:60-135).
 """
+
+import jax
+import jax.numpy as jnp
 
 from stnls_tpu.utils.config import extract_pairs
 from stnls_tpu.ops.agg import nl_gather_add
 from stnls_tpu.agg.utils import ensure_ndim6, ensure_flow_heads, expand_heads
 
 
+def _pallas_ok(impl, ps, strideIn, strideOut, outH, outW, pt, dilation,
+               reflect_bounds, budget, spread, H, W):
+    from stnls_tpu.ops.agg_pallas import agg_pallas_supported
+    if impl not in ("auto", "pallas"):
+        return False
+    if impl == "auto" and jax.default_backend() != "tpu":
+        return False
+    ok = (strideIn == 1 and strideOut == 1
+          and outH in (0, H) and outW in (0, W)
+          and agg_pallas_supported(ps=ps, stride0=1, dilation=dilation,
+                                   pt=pt, reflect_bounds_=reflect_bounds,
+                                   budget=budget, spread=spread, H=H, W=W))
+    if impl == "pallas":
+        assert ok, "pallas gather_add unsupported for this config"
+    return ok
+
+
 def non_local_gather_add(vid, weights, flows, ps=7, strideIn=4, strideOut=4,
                          outH=0, outW=0, pt=1, dilation=1,
-                         reflect_bounds=True, use_adj=False, itype="float"):
+                         reflect_bounds=True, use_adj=False, itype="float",
+                         impl="auto", budget=16, spread=16, wt_hint=None):
     flows = ensure_flow_heads(flows)
     HD = weights.shape[1]
     vid = ensure_ndim6(vid, HD)
     vid = expand_heads(vid, HD)
     flows = expand_heads(flows, HD)
+    H, W = vid.shape[-2:]
+    if _pallas_ok(impl, ps, strideIn, strideOut, outH, outW, pt, dilation,
+                  reflect_bounds, budget, spread, H, W):
+        from stnls_tpu.ops.agg_pallas import nl_gather_stack_pallas
+        from stnls_tpu.utils.debug import emit_count_warning
+        B, HD_, T = vid.shape[:3]
+        K = flows.shape[-2]
+        weights6 = weights.reshape(B, HD_, T, H, W, K)
+        flows7 = flows.reshape(B, HD_, T, H, W, K, 3)
+        # the reference skips "-1e8 invalid fill" entries
+        # (gather_add_kernel.cu:71-73); zero them out before the kernel so
+        # the reflect-bound floor math never sees the sentinels
+        finite = (jnp.abs(flows7[..., 1]) < 1e7) \
+            & (jnp.abs(flows7[..., 2]) < 1e7)
+        weights6 = jnp.where(finite, weights6, 0.)
+        flows7 = jnp.where(finite[..., None], flows7, 0.)
+        stack, outl = nl_gather_stack_pallas(
+            vid, weights6, flows7, ps=ps, stride0=1, pt=pt,
+            dilation=dilation, reflect_bounds_=reflect_bounds,
+            use_adj=use_adj, itype=itype, budget=budget, spread=spread,
+            wt_hint=wt_hint)
+        emit_count_warning(
+            jnp.sum(outl & finite.transpose(0, 1, 5, 2, 3, 4)),
+            f"NonLocalGatherAdd pallas path: edges exceeded budget="
+            f"{budget}/spread={spread} and contribute zero")
+        return jnp.sum(stack, axis=2)
     return nl_gather_add(
         vid, weights, flows, ps=ps, strideIn=strideIn, strideOut=strideOut,
         pt=pt, dilation=dilation, reflect_bounds_=reflect_bounds,
@@ -27,7 +78,8 @@ class NonLocalGatherAdd:
 
     def __init__(self, ps=7, strideIn=4, strideOut=4, outH=0, outW=0, pt=1,
                  dilation=1, reflect_bounds=True, use_adj=False,
-                 itype="float"):
+                 itype="float", impl="auto", budget=16, spread=16,
+                 wt_hint=None):
         self.ps = ps
         self.strideIn = strideIn
         self.strideOut = strideOut
@@ -38,12 +90,17 @@ class NonLocalGatherAdd:
         self.reflect_bounds = reflect_bounds
         self.use_adj = use_adj
         self.itype = itype
+        self.impl = impl
+        self.budget = budget
+        self.spread = spread
+        self.wt_hint = wt_hint
 
     def __call__(self, vid, weights, flows):
         return non_local_gather_add(
             vid, weights, flows, self.ps, self.strideIn, self.strideOut,
             self.outH, self.outW, self.pt, self.dilation,
-            self.reflect_bounds, self.use_adj, self.itype)
+            self.reflect_bounds, self.use_adj, self.itype, self.impl,
+            self.budget, self.spread, self.wt_hint)
 
     forward = __call__
 
@@ -54,7 +111,8 @@ class NonLocalGatherAdd:
 def extract_config(cfg, restrict=True):
     pairs = {"ps": 7, "strideIn": 4, "strideOut": 4, "outH": 0, "outW": 0,
              "pt": 1, "dilation": 1, "reflect_bounds": True,
-             "use_adj": False, "itype": "float"}
+             "use_adj": False, "itype": "float", "impl": "auto",
+             "agg_budget": 16, "agg_spread": 16}
     return extract_pairs(cfg, pairs, restrict=restrict)
 
 
@@ -62,4 +120,5 @@ def init(cfg):
     cfg = extract_config(cfg)
     return NonLocalGatherAdd(cfg.ps, cfg.strideIn, cfg.strideOut, cfg.outH,
                              cfg.outW, cfg.pt, cfg.dilation,
-                             cfg.reflect_bounds, cfg.use_adj, cfg.itype)
+                             cfg.reflect_bounds, cfg.use_adj, cfg.itype,
+                             cfg.impl, cfg.agg_budget, cfg.agg_spread)

@@ -195,10 +195,21 @@ class NonLocalAttention(fnn.Module):
         return x
 
     def flops(self, H, W):
+        """qkv + search + normz + agg + projection (reference
+        non_local_attn.py:226-252)."""
         nrefs = ((H - 1) // self.stride0 + 1) * ((W - 1) // self.stride0 + 1)
         total = 0
+        # ConvQKV: three 1x1 convs, dim -> dim each
+        total += 3 * H * W * self.dim * self.dim
         if hasattr(self.search, "flops"):
             total += self.search.flops(1, self.dim, H, W)
+        if hasattr(self.normz, "flops"):
+            total += self.normz.flops()
+        k = optional(self.search_cfg, "k", 10)
+        nheads = optional(self.search_cfg, "nheads", 1)
+        if hasattr(self.agg, "flops"):
+            total += self.agg.flops(nrefs, self.dim // max(nheads, 1),
+                                    nheads, max(k, 1))
         total += nrefs * self.dim * self.dim
         return total
 

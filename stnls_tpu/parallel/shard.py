@@ -90,18 +90,38 @@ def halo_gather(gather, v6, weights, inds, wt, time_axis="time"):
 def time_sharded_search(vid0, vid1, flows, mesh, *, ws, wt, ps, k,
                         stride0=1, stride1=1, dist_type="l2",
                         self_action=None, itype="float", time_axis="time",
+                        impl="auto", flow_budget=8, spread_budget=8,
                         **kw):
     """Full flow-shifted search with the T axis sharded over `time_axis`.
 
     vid0/vid1 [B,HD,T,F,H,W], flows [B,HDf,T,W_t-1,2,nH,nW]; T must divide
     the mesh axis size. Returns (dists [B,HD,T,nH,nW,K], inds [...,K,3])
     sharded the same way.
+
+    impl="auto" routes each chunk through the fused Pallas kernel on TPU
+    (query_t0/T_global chunk mode of ops.nls_pallas) when supported and
+    k>0 with an anchor/None self_action; "pallas" forces it (interpret
+    off-TPU), "lattice" forces the jnp engine.
     """
+    import jax as _jax
     B, HD, T, F, H, W = vid0.shape
     n = mesh.shape[time_axis]
     assert T % n == 0, "T must divide the time-axis size"
     W_t = min(2 * wt + 1, T)
     halo = 2 * wt
+
+    use_pallas = False
+    if impl in ("auto", "pallas") and k > 0 \
+            and self_action in (None, "anchor", "anchor_self"):
+        from stnls_tpu.ops.nls_pallas import pallas_supported
+        ok = pallas_supported(
+            itype=itype, pt=1, stride1=stride1, reflect_bounds=True,
+            ws=ws, ps=ps, dilation=1, off_Hq=0, off_Wq=0, H=H, W=W,
+            stride0=stride0, strideQ=None) and stride0 == 1
+        use_pallas = ok and (impl == "pallas"
+                             or _jax.default_backend() == "tpu")
+        if impl == "pallas":
+            assert ok, "pallas impl unsupported for this config"
 
     def chunk_fn(v0, v1, fl):
         idx = lax.axis_index(time_axis)
@@ -109,6 +129,21 @@ def time_sharded_search(vid0, vid1, flows, mesh, *, ws, wt, ps, k,
         t0 = idx * T_local
         v0p = _halo_exchange(v0, time_axis, halo)
         v1p = _halo_exchange(v1, time_axis, halo)
+        if use_pallas:
+            from stnls_tpu.ops.nls_pallas import nls_pallas_volume
+            from stnls_tpu.search.non_local_search import _pallas_topk_aux
+            from stnls_tpu.utils.debug import emit_count_warning
+            d_vol, aux, outl = nls_pallas_volume(
+                v0p, v1p, fl, ws=ws, wt=wt, ps=ps, stride0=stride0,
+                stride1=stride1, dist_type=dist_type, itype=itype,
+                flow_budget=flow_budget, spread_budget=spread_budget,
+                return_aux=True, query_t0=t0, T_global=T)
+            emit_count_warning(
+                jnp.sum(outl),
+                "time_sharded_search pallas chunk: queries exceeded "
+                "flow_budget/spread_budget and carry init-valued dists")
+            return _pallas_topk_aux(d_vol, aux, self_action=self_action,
+                                    k=k, dist_type=dist_type)
         dists, inds3 = nls_search_volume_chunk(
             v0p, v1p, fl, t0=t0, T_global=T, halo=halo, ws=ws, wt=wt,
             ps=ps, stride0=stride0, stride1=stride1, dist_type=dist_type,

@@ -113,3 +113,26 @@ def test_halo_gather_matches_full_no_allgather():
     jaxpr = str(jax.make_jaxpr(fn)(vid1, w, inds))
     assert "all_gather" not in jaxpr
     assert "ppermute" in jaxpr
+
+
+def test_time_sharded_pallas_matches_single():
+    """The fused-Pallas chunk path (query_t0/T_global mode, VERDICT r1 #6)
+    must reproduce the single-device anchored search on the CPU mesh
+    (interpret kernels)."""
+    vid0, vid1, flows = make_data(T=4, H=16, W=16, wt=1, seed=7)
+    ws, wt, ps, k = 3, 1, 3, 4
+    mesh = make_mesh({"time": 2}, devices=jax.devices()[:2])
+
+    ref = NonLocalSearch(ws, wt, ps, k, stride0=1, dist_type="l2",
+                         itype="float", self_action="anchor",
+                         impl="lattice")
+    d_ref, i_ref = ref(vid0, vid1, flows)
+
+    d_sh, i_sh = time_sharded_search(
+        vid0, vid1, flows, mesh, ws=ws, wt=wt, ps=ps, k=k, stride0=1,
+        dist_type="l2", itype="float", self_action="anchor", impl="pallas",
+        flow_budget=6, spread_budget=8)
+    np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_sh),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(i_ref), np.asarray(i_sh),
+                               atol=1e-4)
