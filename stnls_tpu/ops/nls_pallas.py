@@ -897,13 +897,7 @@ def _vol_fwd(cfg, interpret, v0e, v1p, scal, l0h, l0w, th, tw,
 
 
 def _vol_bwd(cfg, interpret, res, g):
-    from stnls_tpu.ops.nls_pallas_bwd import vol_bwd_pallas, bwd_supported
-    if not bwd_supported(cfg.d):
-        raise NotImplementedError(
-            "Pallas search backward requires stride0 == 1 (got "
-            f"stride0={cfg.d['stride0']}); use impl='lattice' (autodiff) "
-            "for strided-grid gradients, or keep impl='pallas' "
-            "forward-only")
+    from stnls_tpu.ops.nls_pallas_bwd import vol_bwd_pallas
     (v0e, v1p, scal, l0h, l0w, th, tw, ctrh, ctrw, offh, offw,
      accsaved) = res
     g_v0e, g_v1p, g_th, g_tw = vol_bwd_pallas(

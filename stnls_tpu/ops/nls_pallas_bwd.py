@@ -20,9 +20,10 @@ padded rows-major videos (v0e, v1p) and to the bilinear corner weights
      deterministic replacement for the reference's atomicAdd backward
      (lib/csrc/search/nls_bilin2d.cu:171-180, shared_kernel.cu:918-1053).
 
-Only stride0 == 1 is supported here (the tap-sum transpose for strided
-query grids needs interior-padded writes Mosaic can't express yet);
-callers fall back to the autodiff'd lattice engine otherwise.
+The tap-sum transpose for strided query grids (stride0 > 1) dilates the
+query-grid cotangent to pixel resolution with a strided .at[] set (an
+interior pad) before the 9 shifted adds — the deterministic transpose of
+the forward's tap-sum subsample (_tapsum_to_queries).
 """
 
 import functools
@@ -42,7 +43,7 @@ from stnls_tpu.ops.nls_pallas import (
 
 
 def bwd_supported(cfg):
-    return cfg["stride0"] == 1
+    return True
 
 
 def _make_bwd_kernel(cfg):
@@ -50,7 +51,6 @@ def _make_bwd_kernel(cfg):
                           cfg["ZLc"])
     taps, t0s = cfg["taps"], cfg["t0s"]
     ws, stride0 = cfg["ws"], cfg["stride0"]
-    assert stride0 == 1
     TH, TW, F = cfg["TH"], cfg["TW"], cfg["F"]
     H, W = cfg["H"], cfg["W"]
     pad0 = cfg["pad0"]
@@ -70,16 +70,27 @@ def _make_bwd_kernel(cfg):
     tapsum = functools.partial(_tapsum_to_queries, taps=taps, t0s=t0s,
                                TH=TH, TW=TW, stride0=stride0)
 
+    TPH_, TPW_ = (TH - 1) * stride0 + 1, (TW - 1) * stride0 + 1
+
+    def dilate_queries(gq):
+        """[TH, TW] query grid -> [TPH, TPW] pixel field with values at
+        the stride0 grid (transpose of the fwd's [::stride0] subsample)."""
+        if stride0 == 1:
+            return gq
+        z = jnp.zeros((TPH_, TPW_), jnp.float32)
+        return z.at[::stride0, ::stride0].set(gq)
+
     def tapsum_T(gq, out_h, out_w):
-        """Transpose of the tap-sum: scatter [TH, TW] into a zero
-        [out_h, out_w] pixel field at the 9 static tap offsets."""
+        """Transpose of the tap-sum: scatter [TH, TW] query grads into a
+        zero [out_h, out_w] pixel field at the 9 static tap offsets."""
+        gd = dilate_queries(gq)
         acc = None
         for a in taps:
             ia = a + t0s
             for b in taps:
                 ib = b + t0s
-                v = jnp.pad(gq, ((ia, out_h - TH - ia),
-                                 (ib, out_w - TW - ib)))
+                v = jnp.pad(gd, ((ia, out_h - TPH_ - ia),
+                                 (ib, out_w - TPW_ - ib)))
                 acc = v if acc is None else acc + v
         return acc
 
@@ -196,9 +207,11 @@ def _make_bwd_kernel(cfg):
                                 vals = [tapsum(jnp.sum(v0w * a_sl, axis=1))]
                                 for ei in range(nX):
                                     xidx = (ei * m + r) * m + sv
-                                    vals.append(
-                                        xst_ref[pl.ds(zzh, TPH), xidx,
-                                                zzw:zzw + TPW])
+                                    xs = xst_ref[pl.ds(zzh, TPH), xidx,
+                                                 zzw:zzw + TPW]
+                                    if stride0 > 1:
+                                        xs = xs[::stride0, ::stride0]
+                                    vals.append(xs)
                                 for uw in range(Sp):
                                     mw = (l0w == (j_w - uw)) \
                                         .astype(jnp.float32)
@@ -342,7 +355,8 @@ def _make_bwd_kernel(cfg):
                                     gxp = gxst_ref[pl.ds(zzh, TPH), xidx,
                                                    zzw:zzw + TPW]
                                     gxst_ref[pl.ds(zzh, TPH), xidx,
-                                             zzw:zzw + TPW] = gxp + gxs[ei]
+                                             zzw:zzw + TPW] = \
+                                        gxp + dilate_queries(gxs[ei])
                             if predicate:
                                 pl.when(scal_ref[bh, p, t,
                                                  NSC + Dloc + j_w] != 0)(

@@ -258,8 +258,6 @@ def _use_pallas_path(cfg, vid_shape):
         import jax
         if jax.default_backend() != "tpu":
             return False
-        if cfg["stride0"] != 1:
-            return False   # pallas bwd needs stride0==1; stay on lattice
     H, W = vid_shape[-2:]
     ok = (pallas_supported(itype=cfg["itype"], pt=cfg["pt"],
                            stride1=cfg["stride1"],

@@ -87,26 +87,33 @@ GRAD_CONFIGS = [
          itype="float"),
     dict(ws=3, wt=1, ps=2, stride0=1, stride1=0.5, dist_type="prod",
          itype="float"),
+    dict(ws=3, wt=1, ps=3, stride0=2, stride1=1, dist_type="l2",
+         itype="float"),
 ]
 
 
 @pytest.mark.parametrize("cfg", [
-    pytest.param(c, marks=() if i == 0 else (pytest.mark.slow,))
+    pytest.param(c, marks=() if i in (0, 3) else (pytest.mark.slow,))
     for i, c in enumerate(GRAD_CONFIGS)])
 def test_pallas_gradients_match_lattice(cfg):
     """vid0/vid1/flow grads of the Pallas custom VJP vs autodiff of the
-    lattice engine (the reference for all backward semantics)."""
+    lattice engine (the reference for all backward semantics); includes a
+    strided query grid (stride0=2 — reference default for refine/agg
+    workloads, refinement.py:75)."""
     cfg = dict(cfg)
     rng = np.random.default_rng(3)
     B, HD, T, F, H, W = 1, 1, 2, 4, 8, 8
+    s0 = cfg["stride0"]
+    nH = (H - 1) // s0 + 1
+    nW = (W - 1) // s0 + 1
     vid0 = jnp.asarray(rng.standard_normal((B, HD, T, F, H, W)), jnp.float32)
     vid1 = jnp.asarray(rng.standard_normal((B, HD, T, F, H, W)), jnp.float32)
     W_t = min(2 * cfg["wt"] + 1, T)
     flows = jnp.asarray(
-        2.0 * (2 * rng.random((B, HD, T, W_t - 1, 2, H, W)) - 1) + 0.25,
+        2.0 * (2 * rng.random((B, HD, T, W_t - 1, 2, nH, nW)) - 1) + 0.25,
         jnp.float32)
     gd = jnp.asarray(rng.standard_normal(
-        (B, HD, T, W_t, cfg["ws"], cfg["ws"], H, W)), jnp.float32)
+        (B, HD, T, W_t, cfg["ws"], cfg["ws"], nH, nW)), jnp.float32)
 
     def loss_ref(v0, v1, fl):
         d, _ = nls_search_volume(v0, v1, fl, **cfg)
