@@ -744,7 +744,7 @@ def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
         acc_bytes = (BH * P * nT * dmw["nfam"] * geo["Sp"] ** 2
                      * TH * TW * 4)
         save_acc = acc_bytes <= (3 << 29)       # 1.5 GB
-    cfg["save_acc"] = bool(save_acc) and stride0 == 1
+    cfg["save_acc"] = bool(save_acc)
 
     ty0 = (row0 + jnp.arange(nT, dtype=jnp.int32) * TH) * stride0
     WINh = m * (ty0[None, None] - t0s) + oh_t     # [BH, P, nT]
