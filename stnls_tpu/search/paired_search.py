@@ -32,18 +32,51 @@ def _shape_frames(nheads, frames):
     return out
 
 
+def _use_cvr(cfg, H, W):
+    from stnls_tpu.ops.nls_cvr import cvr_supported
+    impl = cfg.get("impl", "auto")
+    if impl not in ("auto", "cvr"):
+        return False
+    ok = cvr_supported(
+        itype=cfg["itype"], pt=1, stride1=cfg["stride1"],
+        reflect_bounds=cfg["reflect_bounds"], ps=cfg["ps"],
+        dilation=cfg["dilation"], off_Hq=cfg["off_Hq"],
+        off_Wq=cfg["off_Wq"], strideQ=None, stride0=cfg["stride0"],
+        ws_interior=0, H=H, W=W)
+    if impl == "cvr":
+        assert ok, "cvr impl unsupported for this config"
+        return True
+    return ok and jax.default_backend() == "tpu"
+
+
 def _paired_pipeline(frame0, frame1, flow, cfg):
     B, HD, F, qH, qW = frame0.shape
     vid0 = frame0[:, :, None]  # T=1
     vid1 = frame1[:, :, None]
     flows = flow[:, :, None, None]  # [B,HD,T=1,W_t=1,2,nH,nW]
-    dists, inds3 = nls_search_volume(
-        vid0, vid1, flows, ws=cfg["ws"], wt=0, ps=cfg["ps"],
-        stride0=cfg["stride0"], stride1=cfg["stride1"],
-        dist_type=cfg["dist_type"], dilation=cfg["dilation"], pt=1,
-        reflect_bounds_=cfg["reflect_bounds"], full_ws=cfg["full_ws"],
-        use_adj=cfg["use_adj"], off_Hq=cfg["off_Hq"], off_Wq=cfg["off_Wq"],
-        itype=cfg["itype"])
+    kw = dict(ws=cfg["ws"], wt=0, ps=cfg["ps"], stride0=cfg["stride0"],
+              stride1=cfg["stride1"], dist_type=cfg["dist_type"],
+              dilation=cfg["dilation"], full_ws=cfg["full_ws"],
+              use_adj=cfg["use_adj"], itype=cfg["itype"])
+    if _use_cvr(cfg, qH, qW):
+        # fast path: paired search IS the T=1/wt=0 NLS with vid1 as the
+        # key frame (reference paired_search_kernel.cu computes the same
+        # per-cell distances as nls with the window on frame1)
+        from stnls_tpu.ops.nls_cvr import nls_cvr_volume
+        from stnls_tpu.utils.debug import emit_count_warning
+        dists, inds3, outl = nls_cvr_volume(
+            vid0, vid1, flows,
+            flow_budget=cfg.get("flow_budget", 8),
+            spread_budget=cfg.get("spread_budget", 8), **kw)
+        emit_count_warning(
+            jnp.sum(outl),
+            "PairedSearch cvr path: queries exceeded flow_budget/"
+            "spread_budget and carry init-valued dists")
+    else:
+        dists, inds3 = nls_search_volume(
+            vid0, vid1, flows, pt=1,
+            reflect_bounds_=cfg["reflect_bounds"],
+            off_Hq=cfg["off_Hq"], off_Wq=cfg["off_Wq"], **kw)
     # [B,HD,1,1,ws,ws,nH,nW] -> [B,HD,Q,ws*ws] with 2-d offsets
     ws = cfg["ws"]
     nH, nW = dists.shape[-2:]
@@ -85,24 +118,38 @@ class PairedSearch:
                  stride1=1, dilation=1, pt=1, reflect_bounds=True,
                  full_ws=True, self_action=None, use_adj=False,
                  normalize_bwd=False, k_agg=-1, off_Hq=0, off_Wq=0,
-                 itype="float"):
+                 itype="float", impl="auto", flow_budget="auto",
+                 spread_budget=8):
         self.cfg = dict(
             ws=ws, ps=ps, k=k, nheads=nheads, dist_type=dist_type,
             stride0=stride0, stride1=stride1, dilation=dilation, pt=pt,
             reflect_bounds=reflect_bounds, full_ws=full_ws,
             self_action=self_action, use_adj=use_adj,
             normalize_bwd=normalize_bwd, k_agg=k_agg, off_Hq=off_Hq,
-            off_Wq=off_Wq, itype=itype)
+            off_Wq=off_Wq, itype=itype, impl=impl,
+            flow_budget=flow_budget, spread_budget=spread_budget)
         for key, val in self.cfg.items():
             setattr(self, key, val)
-        self._fn = jax.jit(partial(_paired_pipeline, cfg=dict(self.cfg)))
+        # flow_budget="auto" resolves per call from the concrete flow;
+        # cache one jitted pipeline per resolved bucket
+        self._fns = {}
+
+    def _get_fn(self, budget):
+        if budget not in self._fns:
+            self._fns[budget] = jax.jit(partial(
+                _paired_pipeline,
+                cfg=dict(self.cfg, flow_budget=budget)))
+        return self._fns[budget]
 
     def __call__(self, frame0, frame1, flow):
+        from stnls_tpu.search.non_local_search import resolve_flow_budget
         assert self.ws > 0, "Must have nonzero spatial search window"
         frame0, frame1 = _shape_frames(self.nheads, [frame0, frame1])
         if flow.ndim == 4:
             flow = flow[:, None]
-        return self._fn(frame0, frame1, flow)
+        return self._get_fn(
+            resolve_flow_budget(self.flow_budget, flow))(
+            frame0, frame1, flow)
 
     forward = __call__
 
@@ -135,7 +182,8 @@ def extract_config(cfg, restrict=True):
              "reflect_bounds": True, "full_ws": True,
              "self_action": None, "use_adj": False,
              "normalize_bwd": False, "k_agg": -1,
-             "off_Hq": 0, "off_Wq": 0, "itype": "float"}
+             "off_Hq": 0, "off_Wq": 0, "itype": "float",
+             "impl": "auto", "flow_budget": "auto", "spread_budget": 8}
     return extract_pairs(cfg, pairs, restrict=restrict)
 
 
@@ -145,4 +193,5 @@ def init(cfg):
                         cfg.stride0, cfg.stride1, cfg.dilation, cfg.pt,
                         cfg.reflect_bounds, cfg.full_ws, cfg.self_action,
                         cfg.use_adj, cfg.normalize_bwd, cfg.k_agg,
-                        cfg.off_Hq, cfg.off_Wq, cfg.itype)
+                        cfg.off_Hq, cfg.off_Wq, cfg.itype, cfg.impl,
+                        cfg.flow_budget, cfg.spread_budget)

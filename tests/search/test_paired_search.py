@@ -41,3 +41,28 @@ def test_paired_vids_matches_nls(itype):
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(i0).reshape(-1, 3),
                                np.asarray(i1).reshape(-1, 3), atol=1e-4)
+
+
+def test_paired_cvr_matches_lattice():
+    """The cvr fast path (T=1/wt=0 NLS specialization) must equal the
+    lattice paired pipeline — dists and 2-d inds, anchored."""
+    import numpy as np
+    import jax.numpy as jnp
+    from stnls_tpu.search.paired_search import PairedSearch
+
+    rng = np.random.default_rng(11)
+    B, HD, F, H, W = 1, 2, 4, 16, 16
+    f0 = jnp.asarray(rng.standard_normal((B, HD * F, H, W)), jnp.float32)
+    f1 = jnp.asarray(rng.standard_normal((B, HD * F, H, W)), jnp.float32)
+    flow = jnp.asarray(2.0 * rng.standard_normal((B, HD, 2, H, W)) + 0.25,
+                       jnp.float32)
+    kw = dict(ps=3, k=5, nheads=HD, stride0=1, stride1=0.5,
+              self_action="anchor", itype="float")
+    ref = PairedSearch(5, impl="lattice", **kw)
+    fast = PairedSearch(5, impl="cvr", spread_budget=12, **kw)
+    d_ref, i_ref = ref(f0, f1, flow)
+    d_cvr, i_cvr = fast(f0, f1, flow)
+    np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_cvr),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(i_ref), np.asarray(i_cvr),
+                               atol=1e-4)
