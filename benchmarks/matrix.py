@@ -186,8 +186,45 @@ def config_5():
     return dict(config="align1080p_fwd", frames=T, sec=dt, compile_s=cs)
 
 
+def config_6():
+    """Flagship NonLocalDenoiser train step (fwd+bwd) on 540p frames with
+    tuned fused-kernel budgets via the override knobs (VERDICT r1 #5)."""
+    import jax
+    import jax.numpy as jnp
+    import stnls_tpu
+    from stnls_tpu.models.denoiser import NonLocalDenoiser
+    from stnls_tpu.utils.config import ConfigDict
+    B, T, C, H, W = 1, 3, 3, 540, 960
+    rng = np.random.default_rng(0)
+    vid = jnp.asarray(rng.standard_normal((B, T, C, H, W)), jnp.float32)
+    noisy = vid + 0.1 * jnp.asarray(
+        rng.standard_normal((B, T, C, H, W)), jnp.float32)
+    fflow = jnp.asarray(smooth_flows(rng, (B, T, 2, H, W), amp=3.0),
+                        jnp.float32)
+    bflow = jnp.asarray(smooth_flows(rng, (B, T, 2, H, W), amp=3.0),
+                        jnp.float32)
+    flows = ConfigDict()
+    flows.fflow, flows.bflow = fflow, bflow
+    model = NonLocalDenoiser(
+        embed_dim=8, nheads=2, ws=5, wt=1, ps=3, k=8, nres=1,
+        search_overrides={"flow_budget": 8, "spread_budget": (12, 14),
+                          "band_dtype": "float16"},
+        agg_overrides={"agg_budget": 12, "agg_spread": (16, 20),
+                       "wt_hint": 2})
+    params = model.init(jax.random.PRNGKey(0), noisy, flows)
+
+    def loss(p, v):
+        out, _ = model.apply(p, v, flows)
+        return jnp.mean((out - vid) ** 2)
+
+    fn = jax.jit(jax.grad(loss, argnums=0))
+    dt, cs = _time(fn, (params, noisy), n=3)
+    return dict(config="denoiser540p_train_step", frames=T, sec=dt,
+                compile_s=cs)
+
+
 CONFIGS = {1: config_1, 2: config_2, 3: config_3, 4: config_4,
-           5: config_5}
+           5: config_5, 6: config_6}
 
 
 def run_one(n, out_path):

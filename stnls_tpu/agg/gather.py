@@ -112,7 +112,8 @@ class NonLocalGather:
 def extract_config(cfg, restrict=True):
     pairs = {"ps": 7, "stride0": 4, "pt": 1, "dilation": 1,
              "reflect_bounds": True, "use_adj": False, "itype": "float",
-             "impl": "auto", "agg_budget": 16, "agg_spread": 16}
+             "impl": "auto", "agg_budget": 16, "agg_spread": 16,
+             "wt_hint": None}
     return extract_pairs(cfg, pairs, restrict=restrict)
 
 
@@ -121,4 +122,4 @@ def init(cfg):
     return NonLocalGather(cfg.ps, cfg.stride0, cfg.pt, cfg.dilation,
                           cfg.reflect_bounds, cfg.use_adj, cfg.itype,
                           impl=cfg.impl, budget=cfg.agg_budget,
-                          spread=cfg.agg_spread)
+                          spread=cfg.agg_spread, wt_hint=cfg.wt_hint)

@@ -15,7 +15,12 @@ from stnls_tpu.nn.non_local_attn import NonLocalAttention
 
 
 class NonLocalDenoiser(fnn.Module):
-    """vid [B,T,C,H,W] (+ flows dict) -> denoised vid [B,T,C,H,W]."""
+    """vid [B,T,C,H,W] (+ flows dict) -> denoised vid [B,T,C,H,W].
+
+    search_overrides / agg_overrides pass TPU tuning knobs straight into
+    the search/agg config menus (impl, flow_budget, spread_budget,
+    qchunk, band_dtype, agg_budget, agg_spread, ...) so config-built
+    models can tune the fused-kernel budgets (VERDICT r1 #5)."""
     in_dim: int = 3
     embed_dim: int = 16
     nheads: int = 2
@@ -25,6 +30,8 @@ class NonLocalDenoiser(fnn.Module):
     k: int = 9
     stride0: int = 1
     nres: int = 2
+    search_overrides: dict = None
+    agg_overrides: dict = None
 
     @fnn.compact
     def __call__(self, vid, flows=None, state=None):
@@ -34,11 +41,13 @@ class NonLocalDenoiser(fnn.Module):
         search_cfg = {"search_name": "nls", "ws": self.ws, "wt": self.wt,
                       "ps": self.ps, "k": self.k, "nheads": self.nheads,
                       "stride0": self.stride0, "self_action": "anchor",
-                      "itype": "float", "dist_type": "l2"}
+                      "itype": "float", "dist_type": "l2",
+                      **(self.search_overrides or {})}
         normz_cfg = {"normz_name": "softmax", "normz_scale": 10,
                      "dist_type": "l2"}
         agg_cfg = {"agg_name": "gather", "ps": self.ps,
-                   "stride0": self.stride0, "itype": "float"}
+                   "stride0": self.stride0, "itype": "float",
+                   **(self.agg_overrides or {})}
 
         B, T, C, H, W = vid.shape
         x = _conv2d(vid.reshape(B * T, C, H, W), io_dim, 3, "embed")
