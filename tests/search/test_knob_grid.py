@@ -86,3 +86,39 @@ def test_module_grid_matches_gt(ps, stride0, stride1, k, nheads,
     dist_at = np.where(hit, d_gt[..., None, :], np.nan)
     best = np.nanmin(np.abs(dist_at - darr[..., None]), axis=-1)
     assert (np.where(finite, best, 0.) < 2e-3).all()
+
+
+@pytest.mark.parametrize("ws", [3, 5])
+@pytest.mark.parametrize("wt", [0, 2])
+def test_window_grid_matches_gt(ws, wt):
+    """ws x wt axis of the reference grid
+    (tests/search/test_non_local_search_bilin2d.py:41-53), other knobs at
+    representative values."""
+    ps, stride0, stride1, k, nheads = 3, 1, 1, 5, 1
+    B, T, F, H, W = 1, 4, 2, 8, 8
+    HD = nheads
+    rng = np.random.default_rng(hash((ws, wt)) % 2**31)
+    vid0 = rng.standard_normal((B, T, HD * F, H, W)).astype(np.float32)
+    vid1 = rng.standard_normal((B, T, HD * F, H, W)).astype(np.float32)
+    W_t = min(2 * wt + 1, T)
+    flows = 1.5 * rng.standard_normal(
+        (B, T, W_t - 1, 2, H, W)).astype(np.float32)
+
+    search = NonLocalSearch(ws, wt, ps, k, nheads=nheads, stride0=stride0,
+                            stride1=stride1, dist_type="l2",
+                            itype="float", topk_mode="all", impl="lattice")
+    d, i = search(jnp.asarray(vid0), jnp.asarray(vid1), jnp.asarray(flows))
+
+    v0h = vid0.reshape(B, T, HD, F, H, W).transpose(0, 2, 1, 3, 4, 5)
+    v1h = vid1.reshape(B, T, HD, F, H, W).transpose(0, 2, 1, 3, 4, 5)
+    d_gt, i_gt = nls_search_gt(v0h, v1h, flows[:, None], ws=ws, wt=wt,
+                               ps=ps, stride0=stride0, stride1=stride1,
+                               dist_type="l2", itype="float")
+    S = W_t * ws * ws
+    d_gt = d_gt.reshape(B, HD, T, H, W, S)
+    order = np.argsort(d_gt, axis=-1, kind="stable")[..., :k]
+    d_top = np.take_along_axis(d_gt, order, axis=-1)
+    darr = np.asarray(d, np.float64)
+    finite = np.isfinite(d_top)
+    np.testing.assert_allclose(darr[finite], d_top[finite],
+                               rtol=2e-4, atol=2e-4)
