@@ -177,3 +177,31 @@ def test_pallas_outlier_flagging():
     om = np.broadcast_to(om, d.shape)
     dv = np.asarray(d)
     assert np.all(~np.isfinite(dv[om]))
+
+
+@pytest.mark.parametrize("self_action", [None, "anchor"])
+def test_pallas_module_matches_lattice(self_action):
+    """Unbanded module pipeline on the pallas path (lazy top-K offsets)
+    vs the lattice pipeline — dists and inds."""
+    from stnls_tpu.search import NonLocalSearch
+    rng = np.random.default_rng(9)
+    B, T, F, H, W = 1, 3, 4, 16, 16
+    HD, ws, wt, ps, K = 2, 3, 1, 3, 5
+    vid0 = jnp.asarray(rng.standard_normal((B, T, HD * F, H, W)),
+                       jnp.float32)
+    vid1 = jnp.asarray(rng.standard_normal((B, T, HD * F, H, W)),
+                       jnp.float32)
+    flows = jnp.asarray(
+        2.0 * (2 * rng.random((B, T, 2 * wt, 2, H, W)) - 1) + 0.25,
+        jnp.float32)
+    common = dict(nheads=HD, stride0=1, stride1=0.5,
+                  self_action=self_action, itype="float")
+    s_ref = NonLocalSearch(ws, wt, ps, K, impl="lattice", **common)
+    s_pal = NonLocalSearch(ws, wt, ps, K, impl="pallas",
+                           spread_budget=14, **common)
+    d_r, i_r = s_ref(vid0, vid1, flows)
+    d_p, i_p = s_pal(vid0, vid1, flows)
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_r),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(i_p), np.asarray(i_r),
+                               rtol=1e-5, atol=1e-4)
