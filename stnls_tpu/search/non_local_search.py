@@ -155,13 +155,13 @@ def _pallas_topk_aux(dists, aux, *, self_action, k, dist_type):
         is_self = s_ids == self_idx[..., None]
         is_zero = s_ids == 0
         d0 = d[..., :1]
-        dself = jnp.take_along_axis(d, self_idx[..., None], -1)
+        dself = _flat_take(d, qbase * S + self_idx[..., None])
         d_anch = jnp.where(is_zero, dself, jnp.where(is_self, d0, d))
         if kk > 1:
             key = d_anch[..., 1:] if descending else -d_anch[..., 1:]
             _, order_r = jax.lax.top_k(key, kk - 1)
             pos = order_r.astype(jnp.int32) + 1      # anchored slots
-            d_rest = jnp.take_along_axis(d_anch, pos, -1)
+            d_rest = _flat_take(d_anch, qbase * S + pos)
             # the anchored slot self_idx holds the ORIGINAL slot-0 entry
             s_sel = jnp.where(pos == self_idx[..., None], 0, pos)
             dists_k = jnp.concatenate([dself, d_rest], -1)
@@ -178,7 +178,7 @@ def _pallas_topk_aux(dists, aux, *, self_action, k, dist_type):
         key = d if descending else -d
         _, order = jax.lax.top_k(key, kk)
         s_sel = order.astype(jnp.int32)
-        dists_k = jnp.take_along_axis(d, s_sel, -1)
+        dists_k = _flat_take(d, qbase * S + s_sel)
         i_t, i_h, i_w = gather_inds(s_sel)
     inds = jnp.stack([i_t, i_h, i_w], axis=-1).astype(cdtype)
     return dists_k.astype(dists.dtype), inds
