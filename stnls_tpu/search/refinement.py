@@ -24,14 +24,52 @@ from stnls_tpu.search.utils import shape_vids, filter_k
 from functools import partial
 
 
+def _use_cvr(cfg, H, W):
+    from stnls_tpu.ops.refine_cvr import refine_cvr_supported
+    impl = cfg.get("impl", "auto")
+    if impl not in ("auto", "cvr"):
+        return False
+    ok = (cfg["pt"] == 1 and not cfg["restricted_radius"]
+          and refine_cvr_supported(
+              itype=cfg["itype"], pt=cfg["pt"], stride1=cfg["stride1"],
+              reflect_bounds=cfg["reflect_bounds"], ps=cfg["ps"],
+              dilation=cfg["dilation"], off_Hq=cfg["off_Hq"],
+              off_Wq=cfg["off_Wq"], strideQ=None, stride0=cfg["stride0"],
+              ws_interior=0, H=H, W=W))
+    if impl == "cvr":
+        assert ok, "cvr refine impl unsupported for this config"
+        return True
+    return ok and jax.default_backend() == "tpu"
+
+
 def _refine_pipeline(vid0, vid1, flows_k, cfg):
-    dists, inds3 = refine_search_volume(
-        vid0, vid1, flows_k, ws=cfg["ws"], wr=cfg["wr"], ps=cfg["ps"],
-        stride0=cfg["stride0"], stride1=cfg["stride1"],
-        dist_type=cfg["dist_type"], dilation=cfg["dilation"], pt=cfg["pt"],
-        reflect_bounds_=cfg["reflect_bounds"], full_ws=cfg["full_ws"],
-        use_adj=cfg["use_adj"], off_Hq=cfg["off_Hq"], off_Wq=cfg["off_Wq"],
-        itype=cfg["itype"], restricted_radius=cfg["restricted_radius"])
+    H, W = vid0.shape[-2:]
+    if _use_cvr(cfg, H, W):
+        # fast path: dense rebased correlation volume per (t, k) pair with
+        # per-query frame masks (ops/refine_cvr.py)
+        from stnls_tpu.ops.refine_cvr import refine_cvr_volume
+        from stnls_tpu.utils.debug import emit_count_warning
+        dists, inds3, outl = refine_cvr_volume(
+            vid0, vid1, flows_k, wr=cfg["wr"], ps=cfg["ps"],
+            stride0=cfg["stride0"], stride1=cfg["stride1"],
+            dist_type=cfg["dist_type"], dilation=cfg["dilation"],
+            full_ws=cfg["full_ws"], use_adj=cfg["use_adj"],
+            itype=cfg["itype"], flow_budget=cfg.get("flow_budget", 8),
+            spread_budget=cfg.get("spread_budget", 8))
+        emit_count_warning(
+            jnp.sum(outl),
+            "RefineSearch cvr path: edges exceeded flow_budget/"
+            "spread_budget and carry init-valued dists")
+    else:
+        dists, inds3 = refine_search_volume(
+            vid0, vid1, flows_k, ws=cfg["ws"], wr=cfg["wr"], ps=cfg["ps"],
+            stride0=cfg["stride0"], stride1=cfg["stride1"],
+            dist_type=cfg["dist_type"], dilation=cfg["dilation"],
+            pt=cfg["pt"], reflect_bounds_=cfg["reflect_bounds"],
+            full_ws=cfg["full_ws"], use_adj=cfg["use_adj"],
+            off_Hq=cfg["off_Hq"], off_Wq=cfg["off_Wq"],
+            itype=cfg["itype"],
+            restricted_radius=cfg["restricted_radius"])
     # dists [B,HD,T,Ks,wr,wr,nH,nW]
     B, HD, T, Ks, wr, _, nH, nW = dists.shape
     Q = T * nH * nW
@@ -77,7 +115,8 @@ class RefineSearch:
                  restricted_radius=False, reflect_bounds=True, full_ws=True,
                  self_action=None, use_adj=False, normalize_bwd=False,
                  k_agg=-1, topk_mode="all", off_Hq=0, off_Wq=0,
-                 itype="float"):
+                 itype="float", impl="auto", flow_budget=8,
+                 spread_budget=8):
         self.cfg = dict(
             ws=ws, wt=wt, wr=wr, k=k, kr=kr, ps=ps, nheads=nheads,
             stride0=stride0, stride1=stride1, dilation=dilation, pt=pt,
@@ -85,7 +124,8 @@ class RefineSearch:
             reflect_bounds=reflect_bounds, full_ws=full_ws,
             self_action=self_action, use_adj=use_adj,
             normalize_bwd=normalize_bwd, k_agg=k_agg, topk_mode=topk_mode,
-            off_Hq=off_Hq, off_Wq=off_Wq, itype=itype)
+            off_Hq=off_Hq, off_Wq=off_Wq, itype=itype, impl=impl,
+            flow_budget=flow_budget, spread_budget=spread_budget)
         for key, val in self.cfg.items():
             setattr(self, key, val)
         self._fn = jax.jit(partial(_refine_pipeline, cfg=dict(self.cfg)))
@@ -137,7 +177,8 @@ def extract_config(cfg, restrict=True):
              "reflect_bounds": True, "full_ws": True,
              "self_action": None, "use_adj": False,
              "normalize_bwd": False, "k_agg": -1, "topk_mode": "all",
-             "off_Hq": 0, "off_Wq": 0, "itype": "float"}
+             "off_Hq": 0, "off_Wq": 0, "itype": "float",
+             "impl": "auto", "flow_budget": 8, "spread_budget": 8}
     return extract_pairs(cfg, pairs, restrict=restrict)
 
 
@@ -148,4 +189,5 @@ def init(cfg):
                         cfg.pt, cfg.dist_type, cfg.restricted_radius,
                         cfg.reflect_bounds, cfg.full_ws, cfg.self_action,
                         cfg.use_adj, cfg.normalize_bwd, cfg.k_agg,
-                        cfg.topk_mode, cfg.off_Hq, cfg.off_Wq, cfg.itype)
+                        cfg.topk_mode, cfg.off_Hq, cfg.off_Wq, cfg.itype,
+                        cfg.impl, cfg.flow_budget, cfg.spread_budget)
