@@ -25,13 +25,30 @@ def _paired_refine_pipeline(frame0, frame1, flows_k, cfg):
     # lift 2-d flows to 3-d with dt=0: [B,HD,T=1,nH,nW,K,3]
     fk = flows_k.reshape(B, HD, 1, nH, nW, K2, 2)
     fk3 = jnp.concatenate([jnp.zeros_like(fk[..., :1]), fk], axis=-1)
-    dists, inds3 = refine_search_volume(
-        vid0, vid1, fk3, ws=cfg["ws"], wr=cfg["wr"], ps=cfg["ps"],
-        stride0=cfg["stride0"], stride1=cfg["stride1"],
-        dist_type=cfg["dist_type"], dilation=cfg["dilation"], pt=1,
-        reflect_bounds_=cfg["reflect_bounds"], full_ws=cfg["full_ws"],
-        use_adj=cfg["use_adj"], off_Hq=cfg["off_Hq"], off_Wq=cfg["off_Wq"],
-        itype=cfg["itype"])
+    from stnls_tpu.search.refinement import _use_cvr
+    if _use_cvr(dict(cfg, pt=1, restricted_radius=False), qH, qW):
+        # fast path: T=1 specialization of the refine cvr engine
+        from stnls_tpu.ops.refine_cvr import refine_cvr_volume
+        from stnls_tpu.utils.debug import emit_count_warning
+        dists, inds3, outl = refine_cvr_volume(
+            vid0, vid1, fk3, wr=cfg["wr"], ps=cfg["ps"],
+            stride0=cfg["stride0"], stride1=cfg["stride1"],
+            dist_type=cfg["dist_type"], dilation=cfg["dilation"],
+            full_ws=cfg["full_ws"], use_adj=cfg["use_adj"],
+            itype=cfg["itype"], flow_budget=cfg.get("flow_budget", 8),
+            spread_budget=cfg.get("spread_budget", 8))
+        emit_count_warning(
+            jnp.sum(outl),
+            "PairedRefine cvr path: edges exceeded flow_budget/"
+            "spread_budget and carry init-valued dists")
+    else:
+        dists, inds3 = refine_search_volume(
+            vid0, vid1, fk3, ws=cfg["ws"], wr=cfg["wr"], ps=cfg["ps"],
+            stride0=cfg["stride0"], stride1=cfg["stride1"],
+            dist_type=cfg["dist_type"], dilation=cfg["dilation"], pt=1,
+            reflect_bounds_=cfg["reflect_bounds"], full_ws=cfg["full_ws"],
+            use_adj=cfg["use_adj"], off_Hq=cfg["off_Hq"],
+            off_Wq=cfg["off_Wq"], itype=cfg["itype"])
     wr = cfg["wr"]
     Q = nH * nW
     dists = jnp.transpose(dists, (0, 1, 2, 6, 7, 3, 4, 5)) \
@@ -70,14 +87,16 @@ class PairedRefine:
                  stride0=4, stride1=1, dilation=1, pt=1,
                  reflect_bounds=True, full_ws=True, self_action=None,
                  use_adj=False, normalize_bwd=False, k_agg=-1,
-                 topk_mode="all", off_Hq=0, off_Wq=0, itype="float"):
+                 topk_mode="all", off_Hq=0, off_Wq=0, itype="float",
+                 impl="auto", flow_budget=8, spread_budget=8):
         self.cfg = dict(
             ws=ws, wr=wr, k=k, kr=kr, ps=ps, nheads=nheads,
             dist_type=dist_type, stride0=stride0, stride1=stride1,
             dilation=dilation, pt=pt, reflect_bounds=reflect_bounds,
             full_ws=full_ws, self_action=self_action, use_adj=use_adj,
             normalize_bwd=normalize_bwd, k_agg=k_agg, topk_mode=topk_mode,
-            off_Hq=off_Hq, off_Wq=off_Wq, itype=itype)
+            off_Hq=off_Hq, off_Wq=off_Wq, itype=itype, impl=impl,
+            flow_budget=flow_budget, spread_budget=spread_budget)
         for key, val in self.cfg.items():
             setattr(self, key, val)
         self._fn = jax.jit(
@@ -124,7 +143,8 @@ def extract_config(cfg, restrict=True):
              "reflect_bounds": True, "full_ws": True,
              "self_action": None, "use_adj": False,
              "normalize_bwd": False, "k_agg": -1, "topk_mode": "all",
-             "off_Hq": 0, "off_Wq": 0, "itype": "float"}
+             "off_Hq": 0, "off_Wq": 0, "itype": "float",
+             "impl": "auto", "flow_budget": 8, "spread_budget": 8}
     return extract_pairs(cfg, pairs, restrict=restrict)
 
 

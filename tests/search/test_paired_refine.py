@@ -90,3 +90,29 @@ def test_paired_refine_wr1_reevaluates_flows():
     match = np.isclose(iout[..., None, :], fin[..., None, :, :],
                        atol=1e-4).all(-1).any(-1)
     assert match[:, :, :, 2:H - 2, 2:W - 2].all()
+
+
+def test_paired_refine_cvr_matches_lattice():
+    """PairedRefine on the cvr fast path (T=1 refine specialization) vs
+    the lattice path."""
+    import numpy as np
+    import jax.numpy as jnp
+    from stnls_tpu.search.paired_refine import PairedRefine
+
+    rng = np.random.default_rng(13)
+    B, HD, F, H, W = 1, 2, 4, 16, 16
+    f0 = jnp.asarray(rng.standard_normal((B, HD * F, H, W)), jnp.float32)
+    f1 = jnp.asarray(rng.standard_normal((B, HD * F, H, W)), jnp.float32)
+    K2 = 4
+    fk = jnp.asarray(rng.uniform(-2.5, 2.5, (B, HD, H, W, K2, 2)),
+                     jnp.float32)
+    kw = dict(wr=3, k=6, kr=-1, ps=3, nheads=HD, stride0=1, stride1=0.5,
+              self_action="anchor_each", itype="float")
+    ref = PairedRefine(-1, impl="lattice", **kw)
+    fast = PairedRefine(-1, impl="cvr", flow_budget=6, spread_budget=8,
+                        **kw)
+    d_r, i_r = ref(f0, f1, fk)
+    d_c, i_c = fast(f0, f1, fk)
+    np.testing.assert_allclose(np.asarray(d_r), np.asarray(d_c),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(i_r), np.asarray(i_c), atol=1e-4)
