@@ -32,7 +32,8 @@ def main():
     search = stnls_tpu.search.NonLocalSearch(
         ws, wt, ps, K, nheads=HD, stride0=stride0, stride1=stride1,
         self_action="anchor", itype="float")
-    gather = stnls_tpu.agg.NonLocalGather(ps=5, stride0=stride0)
+    gather = stnls_tpu.agg.NonLocalGather(ps=5, stride0=stride0,
+                                      wt_hint=2 * wt)
 
     def attn(v_in, fflow, bflow):
         # -- qkv projections (1x1 convs == per-pixel matmuls) --
