@@ -16,3 +16,6 @@ from stnls_tpu.search.paired_refine import PairedRefine, _apply as paired_refine
 from stnls_tpu.search.rand_inds import RandIndsSearch
 from stnls_tpu.search.n3mm_search import N3MatMultSearch
 from stnls_tpu.search.api import init, extract_config, MENU
+from stnls_tpu.search.utils import (
+    empty_flow, search_wrap, get_time_window_inds,
+)

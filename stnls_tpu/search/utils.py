@@ -53,6 +53,32 @@ def empty_flows(vid, wt, stride0, nheads=1):
     return jnp.zeros((B, nheads, T, W_t - 1, 2, nH, nW), jnp.float32)
 
 
+def empty_flow(vid):
+    """Zero flow [B,T,2,H,W] for a [B,T,C,H,W] video (reference
+    search/utils.py:208)."""
+    B, T = vid.shape[:2]
+    H, W = vid.shape[-2:]
+    return jnp.zeros((B, T, 2, H, W), vid.dtype)
+
+
+def search_wrap(name, search):
+    """Uniform-signature wrapper over any search flavor (reference
+    search/utils.py:283): every call takes
+    (vid0, vid1, fflow, bflow, inds, afflow, abflow)."""
+    if "refine" in name:
+        def wrap(vid0, vid1, fflow, bflow, inds, afflow, abflow):
+            return search(vid0, vid1, inds)
+        return wrap
+    if "pf" in name:
+        def wrap(vid0, vid1, fflow, bflow, inds, afflow, abflow):
+            return search(vid0, vid1, afflow, abflow)
+        return wrap
+
+    def wrap(vid0, vid1, fflow, bflow, inds, afflow, abflow):
+        return search(vid0, vid1, fflow, bflow)
+    return wrap
+
+
 def filter_k(inds, kr, k=None):
     """Keep the first Ks of K given a ratio/count kr (reference :115-126)."""
     K = inds.shape[-2] if k is None else k
