@@ -122,3 +122,23 @@ def test_window_grid_matches_gt(ws, wt):
     finite = np.isfinite(d_top)
     np.testing.assert_allclose(darr[finite], d_top[finite],
                                rtol=2e-4, atol=2e-4)
+
+
+def test_reference_name_helpers():
+    """Reference-name parity helpers (search/__init__.py:8-10 of the
+    reference): empty_flow, search_wrap, get_time_window_inds."""
+    from stnls_tpu.search import empty_flow, search_wrap, \
+        get_time_window_inds
+    vid = jnp.ones((1, 3, 4, 6, 6))
+    fl = empty_flow(vid)
+    assert fl.shape == (1, 3, 2, 6, 6) and float(fl.sum()) == 0.0
+    # boundary-shifted window (reference search/utils.py:311-331)
+    assert get_time_window_inds(0, 1, 3) == [0, 1, 2]
+    assert get_time_window_inds(2, 1, 3) == [2, 1, 0]
+    calls = {}
+    w = search_wrap("nls", lambda v0, v1, ff, bf: calls.setdefault(
+        "args", (v0, v1, ff, bf)))
+    w("v0", "v1", "ff", "bf", "inds", "aff", "abf")
+    assert calls["args"] == ("v0", "v1", "ff", "bf")
+    w2 = search_wrap("refine", lambda v0, v1, inds: inds)
+    assert w2("v0", "v1", "ff", "bf", "INDS", "aff", "abf") == "INDS"
