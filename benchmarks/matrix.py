@@ -45,17 +45,23 @@ def _sync(x):
     return float(1e-30 * jnp.sum(jax.tree_util.tree_leaves(x)[0]))
 
 
-def _time(fn, args, n=5):
+def _time(fn, args, n=3, n_win=3):
     t0 = time.perf_counter()
     out = fn(*args)
     _sync(out)
     compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-        s = _sync(out)
-    dt = (time.perf_counter() - t0) / n
-    return dt, compile_s
+    # axon tunnel throughput varies ~3x between runs (external
+    # interference); best of n_win short windows estimates the
+    # program's own speed (see bench.py)
+    best = None
+    for _ in range(n_win):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+            s = _sync(out)
+        dt = (time.perf_counter() - t0) / n
+        best = dt if best is None else min(best, dt)
+    return best, compile_s
 
 
 def config_1():

@@ -100,7 +100,8 @@ def _lazy_topk_ok(cfg):
             and cfg["topk_mode"] == "all" and cfg["k"] > 0)
 
 
-def _pallas_topk_aux(dists, aux, *, self_action, k, dist_type):
+def _pallas_topk_aux(dists, aux, *, self_action, k, dist_type,
+                     return_cells=False):
     """self_action + top-K over the pallas search volume WITHOUT
     materializing the [3, B,HD,T,W_t,ws,ws,nH,nW] offset volume (~3x the
     dists volume): offsets of the K winners are gathered from the
@@ -166,10 +167,12 @@ def _pallas_topk_aux(dists, aux, *, self_action, k, dist_type):
             s_sel = jnp.where(pos == self_idx[..., None], 0, pos)
             dists_k = jnp.concatenate([dself, d_rest], -1)
             i_t, i_h, i_w = gather_inds(s_sel)
+            cells = jnp.concatenate([self_idx[..., None], s_sel], -1)
         else:
             dists_k = dself
             zsh = d.shape[:-1] + (0,)
             i_t = i_h = i_w = jnp.zeros(zsh, jnp.float32)
+            cells = self_idx[..., None]
         zeros1 = jnp.zeros(d.shape[:-1] + (1,), i_h.dtype)
         i_t = jnp.concatenate([zeros1, i_t.astype(i_h.dtype)], -1)
         i_h = jnp.concatenate([zeros1, i_h], -1)
@@ -180,7 +183,10 @@ def _pallas_topk_aux(dists, aux, *, self_action, k, dist_type):
         s_sel = order.astype(jnp.int32)
         dists_k = _flat_take(d, qbase * S + s_sel)
         i_t, i_h, i_w = gather_inds(s_sel)
+        cells = s_sel
     inds = jnp.stack([i_t, i_h, i_w], axis=-1).astype(cdtype)
+    if return_cells:
+        return dists_k.astype(dists.dtype), inds, cells
     return dists_k.astype(dists.dtype), inds
 
 
@@ -316,10 +322,14 @@ def _pick_n_bands(cfg, vid_shape, nH, nW):
     return int(min(divs, key=_score)), int(n_cb)
 
 
-def _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb):
+def _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb, cells_only=False):
     """Memory-bounded streaming search: lax.map over a (row, col) band
     grid of queries; each band runs the fused kernel + self_action +
-    top-K, so only one band's search volume ever exists at once."""
+    top-K, so only one band's search volume ever exists at once.
+
+    cells_only: return just the selected flat cell ids per query (int32
+    [B,HD,T,nH,nW,K]) for the sparse-K grad path — the values get
+    recomputed exactly by ops.nls_k.nls_dists_at_cells."""
     from stnls_tpu.ops.nls_pallas import nls_pallas_volume, pallas_pad_vids
     B, HD, T, F, H, W = vid0.shape
     nH = flows.shape[-2]
@@ -351,6 +361,7 @@ def _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb):
     band_dtype = cfg.get("band_dtype", None)
 
     lazy = _lazy_topk_ok(cfg)
+    assert lazy or not cells_only
 
     def body(xs):
         from stnls_tpu.utils.debug import emit_count_warning
@@ -363,9 +374,11 @@ def _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb):
             "NonLocalSearch pallas band: queries exceeded flow_budget/"
             "spread_budget and carry init-valued dists")
         if lazy:
-            d, i = _pallas_topk_aux(
+            d, i, cells = _pallas_topk_aux(
                 d, i3, self_action=cfg["self_action"], k=cfg["k"],
-                dist_type=cfg["dist_type"])
+                dist_type=cfg["dist_type"], return_cells=True)
+            if cells_only:
+                return cells
         else:
             d, i = _self_action_topk(
                 d, i3, self_action=cfg["self_action"],
@@ -378,9 +391,6 @@ def _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb):
             i = i.astype(band_dtype)
         return d, i
 
-    d_b, i_b = jax.lax.map(body, (fb, row0s, col0s))
-    # [n_rb*n_cb, B,HD,T,rows,cols,K(,3)] -> [B,HD,T,nH,nW,K(,3)]
-
     def unband(x):
         rest = x.shape[1:]          # (B,HD,T,rows,cols)+tail
         tail_n = len(rest) - 5
@@ -389,6 +399,11 @@ def _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb):
         x = jnp.transpose(x, perm)
         return x.reshape(x.shape[:3] + (nH, nW) + rest[5:])
 
+    if cells_only:
+        c_b = jax.lax.map(body, (fb, row0s, col0s))
+        return unband(c_b)
+    d_b, i_b = jax.lax.map(body, (fb, row0s, col0s))
+    # [n_rb*n_cb, B,HD,T,rows,cols,K(,3)] -> [B,HD,T,nH,nW,K(,3)]
     return unband(d_b), unband(i_b)
 
 
@@ -417,6 +432,154 @@ def resolve_flow_budget(budget, flows):
     return FLOW_BUDGET_BUCKETS[-1]
 
 
+def _sparse_k_ok(cfg):
+    """The sparse-K grad path (reference-style K-sparse backward,
+    ops/nls_k.py) applies when the lazy top-K semantics hold and the
+    recompute geometry is the single-pad reflect case.
+
+    grad="auto" resolves to sparse-K off-TPU only: its stage-B recompute
+    rides XLA patch gathers, which scalarize (~9 ns/elem) on TPU —
+    measured in benchmarks/probe_engines.py / probe_flatgather.py; the
+    TPU default stays the dense Pallas backward. grad="sparse_k" forces."""
+    grad = cfg.get("grad", "auto")
+    if grad not in ("auto", "sparse_k"):
+        return False
+    if grad == "auto":
+        import jax as _jax
+        if _jax.default_backend() == "tpu":
+            return False
+    return (cfg.get("impl", "auto") != "cv"
+            and _lazy_topk_ok(cfg)
+            and cfg["pt"] == 1 and cfg["reflect_bounds"]
+            and cfg["strideQ"] in (None, cfg["stride0"])
+            and cfg["off_Hq"] == 0 and cfg["off_Wq"] == 0
+            and cfg["ws_interior"] <= 0
+            and float(cfg["dilation"]).is_integer())
+
+
+def _sparse_k_pad_ok(cfg, vid_shape):
+    """The recompute's single-fold reflect pads (nls_k.py) must fit the
+    frame: key-side ceil(stride1*(ws-1)) + dilation*(ps-1) + 2, query-side
+    dilation*(ps-1) + 1."""
+    H, W = vid_shape[-2:]
+    Eh = int(cfg["dilation"]) * (cfg["ps"] - 1)
+    pad = int(np.ceil(float(cfg["stride1"]) * (cfg["ws"] - 1))) + Eh + 2
+    return max(pad, Eh + 1) <= min(H, W) - 1
+
+
+def _select_cells(vid0, vid1, flows, cfg):
+    """Run the fastest supported forward engine (values discarded) and
+    return the selected flat window-cell ids [B,HD,T,nH,nW,K] (int32).
+    Callers wrap inputs in stop_gradient — selection is non-differentiable
+    by construction (reference: argsort over dists,
+    impl/non_local_search.py:118-134)."""
+    from stnls_tpu.utils.debug import emit_count_warning
+    if _use_pallas_path(cfg, vid0.shape):
+        from stnls_tpu.ops.nls_pallas import nls_pallas_volume
+        nH = flows.shape[-2] if flows.ndim >= 7 else vid0.shape[-2]
+        nW = flows.shape[-1] if flows.ndim >= 7 else vid0.shape[-1]
+        n_rb, n_cb = _pick_n_bands(cfg, vid0.shape, nH, nW)
+        if n_rb > 1 or n_cb > 1:
+            return _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb,
+                                  cells_only=True)
+        dists, aux, outliers = nls_pallas_volume(
+            vid0, vid1, flows, ws=cfg["ws"], wt=cfg["wt"], ps=cfg["ps"],
+            stride0=cfg["stride0"], stride1=cfg["stride1"],
+            dist_type=cfg["dist_type"], dilation=cfg["dilation"],
+            full_ws=cfg["full_ws"], use_adj=cfg["use_adj"],
+            itype=cfg["itype"], flow_budget=cfg.get("flow_budget", 8),
+            spread_budget=cfg.get("spread_budget", 8),
+            tile=cfg.get("cv_tile", None), return_aux=True)
+        emit_count_warning(
+            jnp.sum(outliers),
+            "NonLocalSearch pallas path: queries exceeded flow_budget="
+            f"{cfg.get('flow_budget', 8)}/spread_budget="
+            f"{cfg.get('spread_budget', 8)}; their cells were selected "
+            "from init-valued dists (values are still recomputed exactly)")
+    else:
+        from stnls_tpu.ops.nls_k import search_aux
+        if _use_warp_path(cfg, vid0.shape):
+            from stnls_tpu.ops.nls_warp import nls_warp_volume
+            dists, _ = nls_warp_volume(
+                vid0, vid1, flows, ws=cfg["ws"], wt=cfg["wt"], ps=cfg["ps"],
+                stride0=cfg["stride0"], stride1=cfg["stride1"],
+                dist_type=cfg["dist_type"], dilation=cfg["dilation"],
+                full_ws=cfg["full_ws"], use_adj=cfg["use_adj"],
+                off_Hq=cfg["off_Hq"], off_Wq=cfg["off_Wq"],
+                channel_chunk=cfg.get("channel_chunk", 1))
+        else:
+            dists, _ = nls_search_volume(
+                vid0, vid1, flows, ws=cfg["ws"], wt=cfg["wt"], ps=cfg["ps"],
+                stride0=cfg["stride0"], stride1=cfg["stride1"],
+                strideQ=cfg["strideQ"], dist_type=cfg["dist_type"],
+                dilation=cfg["dilation"], pt=cfg["pt"],
+                reflect_bounds_=cfg["reflect_bounds"],
+                full_ws=cfg["full_ws"], use_adj=cfg["use_adj"],
+                off_Hq=cfg["off_Hq"], off_Wq=cfg["off_Wq"],
+                itype=cfg["itype"], ws_interior=cfg["ws_interior"])
+        aux = search_aux(vid0.shape, flows, ws=cfg["ws"], wt=cfg["wt"],
+                         stride0=cfg["stride0"], stride1=cfg["stride1"],
+                         itype=cfg["itype"], full_ws=cfg["full_ws"])
+    _, _, cells = _pallas_topk_aux(
+        dists, aux, self_action=cfg["self_action"], k=cfg["k"],
+        dist_type=cfg["dist_type"], return_cells=True)
+    return cells
+
+
+def _sparse_assemble(vid0, vid1, flows, cells, cfg):
+    """Differentiable re-evaluation of the selected cells: exact dists +
+    offsets via ops.nls_k (K-sized work, reference-style sparse backward).
+    Streams over query-row bands when the patch-support volume is big."""
+    from stnls_tpu.ops.nls_k import nls_dists_at_cells
+    B, HD, T, F, H, W = vid0.shape
+    nH, nW = cells.shape[-3], cells.shape[-2]
+    K = cells.shape[-1]
+    kw = dict(ws=cfg["ws"], wt=cfg["wt"], ps=cfg["ps"],
+              stride0=cfg["stride0"], stride1=cfg["stride1"],
+              dist_type=cfg["dist_type"], dilation=int(cfg["dilation"]),
+              full_ws=cfg["full_ws"], use_adj=cfg["use_adj"],
+              itype=cfg["itype"],
+              channel_chunk=cfg.get("channel_chunk", 4))
+    C = min(cfg.get("channel_chunk", 4), F)
+    S2 = (int(cfg["dilation"]) * (cfg["ps"] - 1)
+          + (1 if cfg["itype"] == "int" else 2)) ** 2
+    gather_bytes = 4 * B * HD * C * S2 * T * nH * nW * K
+    n_rb = max(1, int(-(-gather_bytes // (768 * 1024 * 1024))))
+    while nH % n_rb:
+        n_rb += 1
+    if n_rb == 1:
+        d, (dt, dh, dw) = nls_dists_at_cells(vid0, vid1, flows, cells, **kw)
+    else:
+        rows = nH // n_rb
+        lead = flows.shape[:5]
+        fb = jnp.moveaxis(
+            flows.reshape(lead + (n_rb, rows, nW)), 5, 0)
+        cb = jnp.moveaxis(
+            cells.reshape(cells.shape[:3] + (n_rb, rows, nW, K)), 3, 0)
+        row0s = jnp.arange(n_rb, dtype=jnp.int32) * rows
+
+        def body(xs):
+            f_b, c_b, r0 = xs
+            return nls_dists_at_cells(vid0, vid1, f_b, c_b, row0=r0, **kw)
+
+        d_b, (dt_b, dh_b, dw_b) = jax.lax.map(body, (fb, cb, row0s))
+
+        def unband(x):
+            x = jnp.moveaxis(x, 0, 3)     # [B,HD,T,n_rb,rows,nW,K]
+            return x.reshape(x.shape[:3] + (nH, nW, K))
+
+        d, dt, dh, dw = (unband(d_b), unband(dt_b), unband(dh_b),
+                         unband(dw_b))
+    inds = jnp.stack([dt, dh, dw], axis=-1)
+    if cfg["self_action"] in ("anchor", "anchor_self"):
+        # anchored slot-0 offsets are exact zeros (matching
+        # _pallas_topk_aux / nn.anchor_self); its dist is the true
+        # self-cell distance, recomputed above
+        inds = jnp.concatenate(
+            [jnp.zeros_like(inds[..., :1, :]), inds[..., 1:, :]], axis=-2)
+    return d, inds
+
+
 def nls_pipeline(vid0, vid1, flows, cfg):
     """Full forward: search volume -> self_action -> top-K.
 
@@ -426,10 +589,21 @@ def nls_pipeline(vid0, vid1, flows, cfg):
     correlation-volume path (ops/nls_cv.py; opt-in impl="cv");
     cfg["impl"] in {"auto","pallas","warp","lattice","cv"} forces.
     Large frames stream over query-row bands (memory-bounded, per-band
-    top-K) instead of materializing the full search volume."""
+    top-K) instead of materializing the full search volume.
+
+    Gradients: with cfg["grad"] in {"auto","sparse_k"} (and lazy-top-K
+    semantics), the engine only SELECTS cells under stop_gradient and the
+    K winners are re-evaluated differentiably (ops/nls_k.py) — the exact
+    functional mirror of the reference's K-sparse backward kernels
+    (impl/non_local_search.py:142-212). cfg["grad"]="dense" keeps full
+    autodiff through the engine."""
     if not isinstance(cfg.get("flow_budget", 8), (int, float)):
         cfg = dict(cfg, flow_budget=resolve_flow_budget(
             cfg["flow_budget"], flows))
+    if _sparse_k_ok(cfg) and _sparse_k_pad_ok(cfg, vid0.shape):
+        sg = jax.lax.stop_gradient
+        cells = _select_cells(sg(vid0), sg(vid1), sg(flows), cfg)
+        return _sparse_assemble(vid0, vid1, flows, cells, cfg)
     if _use_pallas_path(cfg, vid0.shape):
         from stnls_tpu.ops.nls_pallas import nls_pallas_volume
         from stnls_tpu.utils.debug import emit_count_warning
@@ -547,7 +721,8 @@ class NonLocalSearch:
                  full_ws=True, use_adj=False, normalize_bwd=False, k_agg=-1,
                  off_Hq=0, off_Wq=0, strideQ=None, itype="float",
                  impl="auto", flow_budget="auto", cv_tile=None,
-                 spread_budget=8, qchunk=None, band_dtype=None):
+                 spread_budget=8, qchunk=None, band_dtype=None,
+                 grad="auto", channel_chunk=4):
         self.cfg = dict(
             ws=ws, wt=wt, ps=ps, k=k, nheads=nheads, stride0=stride0,
             stride1=stride1, dist_type=dist_type, dilation=dilation, pt=pt,
@@ -557,7 +732,7 @@ class NonLocalSearch:
             k_agg=k_agg, off_Hq=off_Hq, off_Wq=off_Wq, strideQ=strideQ,
             itype=itype, impl=impl, flow_budget=flow_budget,
             cv_tile=cv_tile, spread_budget=spread_budget, qchunk=qchunk,
-            band_dtype=band_dtype)
+            band_dtype=band_dtype, grad=grad, channel_chunk=channel_chunk)
         for key, val in self.cfg.items():
             setattr(self, key, val)
         # flow_budget="auto" resolves per call from the concrete flows;
@@ -641,7 +816,8 @@ def extract_config(cfg, restrict=True):
              "normalize_bwd": False, "k_agg": -1, "topk_mode": "all",
              "off_Hq": 0, "off_Wq": 0, "strideQ": None, "itype": "float",
              "impl": "auto", "flow_budget": 8, "spread_budget": 8,
-             "cv_tile": None, "qchunk": None, "band_dtype": None}
+             "cv_tile": None, "qchunk": None, "band_dtype": None,
+             "grad": "auto", "channel_chunk": 4}
     return extract_pairs(cfg, pairs, restrict=restrict)
 
 
@@ -658,4 +834,5 @@ def init(cfg):
         strideQ=cfg.strideQ, itype=cfg.itype,
         impl=cfg.impl, flow_budget=cfg.flow_budget, cv_tile=cfg.cv_tile,
         spread_budget=cfg.spread_budget, qchunk=cfg.qchunk,
-        band_dtype=cfg.band_dtype)
+        band_dtype=cfg.band_dtype, grad=cfg.grad,
+        channel_chunk=cfg.channel_chunk)
