@@ -280,7 +280,7 @@ def _select_sweep(v0f, reb, xwin, l0h_p, l0w_p, tap_tile, *, geo, stride0,
 
 
 def _select_mx(v0f, reb, xwin, l0h_p, l0w_p, *, geo, stride0, fdtype,
-               mx_dtype=None):
+               mx_dtype=None, mx_precision="high"):
     """MXU engine: per-tile im2col + one batched matmul computes the
     correlation of every query patch against every window position
     (CC[q, u] = <p0(q), up-grid patch at u>), then the per-query residual
@@ -317,10 +317,16 @@ def _select_mx(v0f, reb, xwin, l0h_p, l0w_p, *, geo, stride0, fdtype,
     if mx_dtype is not None:
         qm = qm.astype(mx_dtype)
         km = km.astype(mx_dtype)
-    # precision=HIGHEST: the default TPU/CPU matmul precision is
-    # bf16-grade, which breaks the <=1e-4 exactness contract vs the
-    # reference; mx_dtype=bfloat16 is the explicit opt-in fast path.
-    prec = None if mx_dtype is not None else lax.Precision.HIGHEST
+    # precision: the default TPU matmul precision is bf16-grade, which
+    # breaks the <=1e-4 exactness contract vs the reference. "high"
+    # (bf16x3, ~f32-accurate at 3 MXU passes) is the default; "highest"
+    # (6 passes) is the paranoid mode; mx_dtype=bfloat16 is the explicit
+    # opt-in half-precision fast path (precision flag then ignored).
+    prec = None if mx_dtype is not None else {
+        "high": lax.Precision.HIGH,
+        "highest": lax.Precision.HIGHEST,
+        "default": lax.Precision.DEFAULT,
+    }[mx_precision]
     cc = jax.lax.dot_general(
         qm, km, (((3,), (3,)), ((0, 1, 2), (0, 1, 2))),
         precision=prec,
@@ -395,59 +401,39 @@ def _select_mx(v0f, reb, xwin, l0h_p, l0w_p, *, geo, stride0, fdtype,
     return cc_win, x_win
 
 
-def nls_cvr_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
-                   dist_type="l2", dilation=1, full_ws=True, use_adj=False,
-                   itype="float", flow_budget=8, spread_budget=4,
-                   tile=(8, 16), row0=0, col0=0, precomp=None,
-                   engine="mx", mx_dtype=None):
-    """Returns (dists [B,HD,T,W_t,ws,ws,nH,nW], inds3 [3,...],
-    outliers [B,HD,T,W_t,nH,nW]).
+def cvr_query_geometry(vid_shape, flows, *, geo, ws, wt, stride0, stride1,
+                       full_ws, is_int, row0=0, col0=0, tH=None, tW=None):
+    """Per-query centers / window offsets / rebased tile shifts — the
+    pure-geometry half of nls_cvr_volume, shared with `cvr_outliers` so
+    exactness guards (bench.py) check the same math the engine runs.
 
-    row0/col0 + banded flows (fewer rows/cols than the full query grid)
-    restrict to a query band for memory-bounded streaming; `precomp`
-    (from cvr_precompute) shares the padded surface/X fields across
-    bands."""
-    B, HD, T, F, H, W = vid0.shape
-    assert vid1.shape[-2:] == (H, W)
-    is_int = (itype == "int")
-    if is_int:
-        stride1 = float(max(1, int(stride1)))
-        flows = jnp.round(flows).astype(jnp.float32) \
-            if jnp.issubdtype(flows.dtype, jnp.floating) \
-            else flows.astype(jnp.float32)
-    else:
-        stride1 = float(stride1)
-    geo = cvr_geometry(ws=ws, ps=ps, stride0=stride0, stride1=stride1,
-                       dilation=dilation, flow_budget=flow_budget,
-                       spread_budget=spread_budget, use_adj=use_adj,
-                       tile=tile)
-    assert geo is not None, "cvr path unsupported for this config"
+    Returns dict(ctr_h, ctr_w, off_h, off_w, th, tw, k0h, k0w [query
+    grids], bh_t, bw_t, l0h, l0w [P-major tiles], outliers
+    [B,HD,T,W_t,nH,nW], pmajor/unpmajor closures, W_t, nTh, nTw, tH, tW).
+    """
+    B, HD, T, F, H, W = vid_shape
     m, su, Sp = geo["m"], geo["su"], geo["Sp"]
     Lh, Lw, nPh, nPw = geo["Lh"], geo["Lw"], geo["nPh"], geo["nPw"]
-    ZMAX, taps, t0s, Eh = geo["ZMAX"], geo["taps"], geo["t0s"], geo["Eh"]
-    pad1 = geo["pad1"]
-    dist_is_l2 = (dist_type == "l2")
-    dtype = vid0.dtype
+    ZMAX = geo["ZMAX"]
     fdtype = jnp.float32
+    dtype = flows.dtype if jnp.issubdtype(flows.dtype, jnp.floating) \
+        else fdtype
     W_t = min(2 * wt + 1, T)
-    nHq, nWq = num_queries(H, W, stride0)
     nH = flows.shape[-2]
     nW = flows.shape[-1]
-    assert nH <= nHq and nW <= nWq
-    tH, tW = geo["tH"], geo["tW"]
-    tH = min(tH, nH)
-    tW = min(tW, nW)
-    while nH % tH:
-        tH -= 1
-    while nW % tW:
-        tW -= 1
+    if tH is None:
+        tH, tW = geo["tH"], geo["tW"]
+        tH = min(tH, nH)
+        tW = min(tW, nW)
+        while nH % tH:
+            tH -= 1
+        while nW % tW:
+            tW -= 1
     nTh, nTw = nH // tH, nW // tW
     BH = B * HD
     st_offset = W_t - flows.shape[3]
     assert st_offset in (0, 1)
-    flows = _expand_flow_heads(flows, HD)
 
-    # ---- per-query centers / window offsets / lattice anchors ----
     ref_h = ((row0 + jnp.arange(nH, dtype=jnp.int32)) * stride0) % H
     ref_w = ((col0 + jnp.arange(nW, dtype=jnp.int32)) * stride0) % W
     base_h = ref_h[None, None, None, None, :, None].astype(fdtype)
@@ -481,7 +467,6 @@ def nls_cvr_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
         th = jnp.zeros_like(th)
         tw = jnp.zeros_like(tw)
 
-    # ---- per-tile base shifts + residuals, P-major tile layout ----
     P = T * W_t
 
     def pmajor(x):
@@ -508,6 +493,102 @@ def nls_cvr_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
         return x.reshape(B, HD, T, W_t, nH, nW)
 
     outliers = outliers | unpmajor(spill)
+    return dict(ctr_h=ctr_h, ctr_w=ctr_w, off_h=off_h, off_w=off_w,
+                th=th, tw=tw, bh_t=bh_t, bw_t=bw_t, l0h=l0h, l0w=l0w,
+                outliers=outliers, pmajor=pmajor, unpmajor=unpmajor,
+                W_t=W_t, nTh=nTh, nTw=nTw, tH=tH, tW=tW,
+                base_h=base_h, base_w=base_w)
+
+
+def cvr_outliers(vid_shape, flows, *, ws, wt, ps, stride0, stride1,
+                 dist_type="l2", itype="float", flow_budget=8,
+                 spread_budget=4, tile=(8, 16), dilation=1, use_adj=False,
+                 full_ws=True, row0=0, col0=0):
+    """Out-of-budget mask [B,HD,T,W_t,nH,nW] for the cvr engine — pure
+    flow geometry, no video reads, no engine compile. The bench's
+    exactness guard (bench.py) asserts this is all-False before timing."""
+    is_int = (itype == "int")
+    if is_int:
+        stride1 = float(max(1, int(stride1)))
+        flows = jnp.round(flows).astype(jnp.float32) \
+            if jnp.issubdtype(flows.dtype, jnp.floating) \
+            else flows.astype(jnp.float32)
+    else:
+        stride1 = float(stride1)
+    geo = cvr_geometry(ws=ws, ps=ps, stride0=stride0, stride1=stride1,
+                       dilation=dilation, flow_budget=flow_budget,
+                       spread_budget=spread_budget, use_adj=use_adj,
+                       tile=tile)
+    assert geo is not None, "cvr path unsupported for this config"
+    B, HD = vid_shape[:2]
+    flows = _expand_flow_heads(flows, HD)
+    qg = cvr_query_geometry(vid_shape, flows, geo=geo, ws=ws, wt=wt,
+                            stride0=stride0, stride1=stride1,
+                            full_ws=full_ws, is_int=is_int,
+                            row0=row0, col0=col0)
+    return qg["outliers"]
+
+
+def nls_cvr_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
+                   dist_type="l2", dilation=1, full_ws=True, use_adj=False,
+                   itype="float", flow_budget=8, spread_budget=4,
+                   tile=(8, 16), row0=0, col0=0, precomp=None,
+                   engine="mx", mx_dtype=None, mx_precision="high",
+                   return_aux=False):
+    """Returns (dists [B,HD,T,W_t,ws,ws,nH,nW], inds3 [3,...],
+    outliers [B,HD,T,W_t,nH,nW]); with return_aux=True the second output
+    is instead the separable offset-factor dict (dt_tab/dh/dw/cdtype,
+    same contract as ops.nls_k.search_aux) for the lazy top-K path —
+    the full [3,...] index volume is never materialized.
+
+    row0/col0 + banded flows (fewer rows/cols than the full query grid)
+    restrict to a query band for memory-bounded streaming; `precomp`
+    (from cvr_precompute) shares the padded surface/X fields across
+    bands."""
+    B, HD, T, F, H, W = vid0.shape
+    assert vid1.shape[-2:] == (H, W)
+    is_int = (itype == "int")
+    if is_int:
+        stride1 = float(max(1, int(stride1)))
+        flows = jnp.round(flows).astype(jnp.float32) \
+            if jnp.issubdtype(flows.dtype, jnp.floating) \
+            else flows.astype(jnp.float32)
+    else:
+        stride1 = float(stride1)
+    geo = cvr_geometry(ws=ws, ps=ps, stride0=stride0, stride1=stride1,
+                       dilation=dilation, flow_budget=flow_budget,
+                       spread_budget=spread_budget, use_adj=use_adj,
+                       tile=tile)
+    assert geo is not None, "cvr path unsupported for this config"
+    m, su, Sp = geo["m"], geo["su"], geo["Sp"]
+    Lh, Lw, nPh, nPw = geo["Lh"], geo["Lw"], geo["nPh"], geo["nPw"]
+    ZMAX, taps, t0s, Eh = geo["ZMAX"], geo["taps"], geo["t0s"], geo["Eh"]
+    pad1 = geo["pad1"]
+    dist_is_l2 = (dist_type == "l2")
+    dtype = vid0.dtype
+    fdtype = jnp.float32
+    nHq, nWq = num_queries(H, W, stride0)
+    nH = flows.shape[-2]
+    nW = flows.shape[-1]
+    assert nH <= nHq and nW <= nWq
+    BH = B * HD
+    flows = _expand_flow_heads(flows, HD)
+
+    # ---- per-query centers / offsets / rebased tiles (shared helper) ----
+    qg = cvr_query_geometry(vid0.shape, flows, geo=geo, ws=ws, wt=wt,
+                            stride0=stride0, stride1=stride1,
+                            full_ws=full_ws, is_int=is_int,
+                            row0=row0, col0=col0)
+    W_t = qg["W_t"]
+    tH, tW, nTh, nTw = qg["tH"], qg["tW"], qg["nTh"], qg["nTw"]
+    ctr_h, ctr_w = qg["ctr_h"], qg["ctr_w"]
+    off_h, off_w = qg["off_h"], qg["off_w"]
+    th, tw = qg["th"].astype(dtype), qg["tw"].astype(dtype)
+    bh_t, bw_t = qg["bh_t"], qg["bw_t"]
+    l0h, l0w = qg["l0h"], qg["l0w"]
+    outliers = qg["outliers"]
+    pmajor = qg["pmajor"]
+    base_h, base_w = qg["base_h"], qg["base_w"]
 
     # ---- frame-level fields ----
     if precomp is None:
@@ -546,6 +627,7 @@ def nls_cvr_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
                         for j in range(nTw)], 2)
              for i in range(nTh)], 2)  # [BH,T,nTh,nTw,tH,tW]
 
+    P = T * W_t
     tj_tab = np.asarray(time_window_frames(T, wt))       # [T, W_t]
     t_arr = jnp.asarray(np.repeat(np.arange(T), W_t), jnp.int32)
     tj_arr = jnp.asarray(tj_tab.reshape(-1), jnp.int32)
@@ -620,7 +702,8 @@ def nls_cvr_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
         if engine == "mx":
             cc_win, x_win = _select_mx(
                 v0f, reb, xwin if dist_is_l2 else None, l0h_p, l0w_p,
-                geo=geo, stride0=stride0, fdtype=fdtype, mx_dtype=mx_dtype)
+                geo=geo, stride0=stride0, fdtype=fdtype, mx_dtype=mx_dtype,
+                mx_precision=mx_precision)
         else:
             cc_win, x_win = _select_sweep(
                 v0f, reb, xwin if dist_is_l2 else None, l0h_p, l0w_p,
@@ -687,6 +770,16 @@ def nls_cvr_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
     inval = jnp.asarray(init_val, dtype)
     ok = valid_patch & ~outliers[:, :, :, :, None, None]
     d = jnp.where(ok, d.astype(dtype), inval)
+
+    if return_aux:
+        dt_a = jnp.asarray(tj_tab - np.arange(T)[:, None]).astype(cdtype)
+        dh_a = prop_h - base_h[:, :, :, :, None]   # [B,HD,T,W_t,ws,nH,nW]
+        dw_a = prop_w - base_w[:, :, :, :, None]
+        if is_int:
+            dh_a = dh_a.astype(cdtype)
+            dw_a = dw_a.astype(cdtype)
+        aux = dict(dt_tab=dt_a, dh=dh_a, dw=dw_a, cdtype=cdtype)
+        return d, aux, outliers
 
     dt = (jnp.asarray(tj_tab) - np.arange(T)[:, None]).astype(cdtype)
     dh = (prop_h - base_h[:, :, :, :, None].astype(fdtype))[:, :, :, :, :, None]

@@ -251,6 +251,37 @@ def _use_cv_path(cfg, vid_shape):
     return ok
 
 
+# auto-mode engine preference on TPU: the pure-XLA rebased
+# correlation-volume engine (ops/nls_cvr.py, MXU matmul core) vs the
+# fused Mosaic kernel (ops/nls_pallas.py). cvr compiles in seconds and
+# puts the ps^2*F contraction on the MXU; pallas is the fallback for
+# configs cvr doesn't cover.
+_CVR_AUTO = True
+
+
+def _use_cvr_path(cfg, vid_shape):
+    from stnls_tpu.ops.nls_cvr import cvr_supported
+    impl = cfg.get("impl", "auto")
+    if impl not in ("auto", "cvr"):
+        return False
+    if impl == "auto":
+        import jax
+        if not _CVR_AUTO or jax.default_backend() != "tpu":
+            return False
+    H, W = vid_shape[-2:]
+    ok = (float(cfg["dilation"]).is_integer()
+          and cvr_supported(
+              itype=cfg["itype"], pt=cfg["pt"], stride1=cfg["stride1"],
+              reflect_bounds=cfg["reflect_bounds"], ps=cfg["ps"],
+              dilation=int(cfg["dilation"]), off_Hq=cfg["off_Hq"],
+              off_Wq=cfg["off_Wq"], strideQ=cfg["strideQ"],
+              stride0=cfg["stride0"], ws_interior=cfg["ws_interior"],
+              H=H, W=W))
+    if impl == "cvr":
+        assert ok, "cvr impl unsupported for this config"
+    return ok
+
+
 def _use_pallas_path(cfg, vid_shape):
     from stnls_tpu.ops.nls_pallas import pallas_supported
     impl = cfg.get("impl", "auto")
@@ -322,15 +353,16 @@ def _pick_n_bands(cfg, vid_shape, nH, nW):
     return int(min(divs, key=_score)), int(n_cb)
 
 
-def _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb, cells_only=False):
+def _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb, cells_only=False,
+                   engine="pallas"):
     """Memory-bounded streaming search: lax.map over a (row, col) band
-    grid of queries; each band runs the fused kernel + self_action +
-    top-K, so only one band's search volume ever exists at once.
+    grid of queries; each band runs the fast engine (fused Mosaic kernel
+    or the cvr MXU engine) + self_action + top-K, so only one band's
+    search volume ever exists at once.
 
     cells_only: return just the selected flat cell ids per query (int32
     [B,HD,T,nH,nW,K]) for the sparse-K grad path — the values get
     recomputed exactly by ops.nls_k.nls_dists_at_cells."""
-    from stnls_tpu.ops.nls_pallas import nls_pallas_volume, pallas_pad_vids
     B, HD, T, F, H, W = vid0.shape
     nH = flows.shape[-2]
     nW = flows.shape[-1]
@@ -342,13 +374,38 @@ def _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb, cells_only=False):
               full_ws=cfg["full_ws"], use_adj=cfg["use_adj"],
               itype=cfg["itype"],
               flow_budget=cfg.get("flow_budget", 8),
-              spread_budget=cfg.get("spread_budget", 8),
-              tile=cfg.get("cv_tile", None))
-    pv = pallas_pad_vids(vid0, vid1, ws=cfg["ws"], ps=cfg["ps"],
-                         stride1=cfg["stride1"], dilation=cfg["dilation"],
-                         flow_budget=cfg.get("flow_budget", 8),
-                         spread_budget=cfg.get("spread_budget", 8),
-                         use_adj=cfg["use_adj"], itype=cfg["itype"])
+              spread_budget=cfg.get("spread_budget", 8))
+    if engine == "cvr":
+        from stnls_tpu.ops.nls_cvr import nls_cvr_volume, cvr_precompute
+        kw["tile"] = cfg.get("cv_tile") or (8, 16)
+        kw["mx_precision"] = cfg.get("mx_precision", "high")
+        pc = cvr_precompute(vid0, vid1, ws=kw["ws"], ps=kw["ps"],
+                            stride0=kw["stride0"], stride1=kw["stride1"],
+                            dist_type=kw["dist_type"],
+                            dilation=kw["dilation"], use_adj=kw["use_adj"],
+                            itype=kw["itype"],
+                            flow_budget=kw["flow_budget"],
+                            spread_budget=kw["spread_budget"],
+                            tile=kw["tile"])
+
+        def volume(band_flows, r0, c0, return_aux):
+            return nls_cvr_volume(vid0, vid1, band_flows, row0=r0, col0=c0,
+                                  precomp=pc, return_aux=return_aux, **kw)
+    else:
+        from stnls_tpu.ops.nls_pallas import (nls_pallas_volume,
+                                              pallas_pad_vids)
+        kw["tile"] = cfg.get("cv_tile", None)
+        pv = pallas_pad_vids(vid0, vid1, ws=cfg["ws"], ps=cfg["ps"],
+                             stride1=cfg["stride1"],
+                             dilation=cfg["dilation"],
+                             flow_budget=cfg.get("flow_budget", 8),
+                             spread_budget=cfg.get("spread_budget", 8),
+                             use_adj=cfg["use_adj"], itype=cfg["itype"])
+
+        def volume(band_flows, r0, c0, return_aux):
+            return nls_pallas_volume(vid0, vid1, band_flows, row0=r0,
+                                     col0=c0, padded_vids=pv,
+                                     return_aux=return_aux, **kw)
     # [B,HD,T,St,2,nH,nW] -> [n_rb*n_cb, B,HD,T,St,2,rows,cols]
     lead = flows.shape[:5]
     fb = flows.reshape(lead + (n_rb, rows, n_cb, cols))
@@ -366,12 +423,10 @@ def _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb, cells_only=False):
     def body(xs):
         from stnls_tpu.utils.debug import emit_count_warning
         band_flows, r0, c0 = xs
-        d, i3, outl = nls_pallas_volume(vid0, vid1, band_flows, row0=r0,
-                                        col0=c0, padded_vids=pv,
-                                        return_aux=lazy, **kw)
+        d, i3, outl = volume(band_flows, r0, c0, lazy)
         emit_count_warning(
             jnp.sum(outl),
-            "NonLocalSearch pallas band: queries exceeded flow_budget/"
+            f"NonLocalSearch {engine} band: queries exceeded flow_budget/"
             "spread_budget and carry init-valued dists")
         if lazy:
             d, i, cells = _pallas_topk_aux(
@@ -448,7 +503,7 @@ def _sparse_k_ok(cfg):
         import jax as _jax
         if _jax.default_backend() == "tpu":
             return False
-    return (cfg.get("impl", "auto") != "cv"
+    return (cfg.get("impl", "auto") not in ("cv", "cvr")
             and _lazy_topk_ok(cfg)
             and cfg["pt"] == 1 and cfg["reflect_bounds"]
             and cfg["strideQ"] in (None, cfg["stride0"])
@@ -604,7 +659,40 @@ def nls_pipeline(vid0, vid1, flows, cfg):
         sg = jax.lax.stop_gradient
         cells = _select_cells(sg(vid0), sg(vid1), sg(flows), cfg)
         return _sparse_assemble(vid0, vid1, flows, cells, cfg)
-    if _use_pallas_path(cfg, vid0.shape):
+    if _use_cvr_path(cfg, vid0.shape):
+        from stnls_tpu.ops.nls_cvr import nls_cvr_volume
+        from stnls_tpu.utils.debug import emit_count_warning
+        nH = flows.shape[-2] if flows.ndim >= 7 else vid0.shape[-2]
+        nW = flows.shape[-1] if flows.ndim >= 7 else vid0.shape[-1]
+        n_rb, n_cb = _pick_n_bands(cfg, vid0.shape, nH, nW)
+        if (n_rb > 1 or n_cb > 1) and cfg["topk_mode"] != "none" \
+                and cfg["k"] > 0:
+            return _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb,
+                                  engine="cvr")
+        lazy = _lazy_topk_ok(cfg)
+        dists, aux_or_i3, outliers = nls_cvr_volume(
+            vid0, vid1, flows, ws=cfg["ws"], wt=cfg["wt"], ps=cfg["ps"],
+            stride0=cfg["stride0"], stride1=cfg["stride1"],
+            dist_type=cfg["dist_type"], dilation=cfg["dilation"],
+            full_ws=cfg["full_ws"], use_adj=cfg["use_adj"],
+            itype=cfg["itype"],
+            flow_budget=cfg.get("flow_budget", 8),
+            spread_budget=cfg.get("spread_budget", 8),
+            tile=cfg.get("cv_tile") or (8, 16),
+            mx_precision=cfg.get("mx_precision", "high"),
+            return_aux=lazy)
+        emit_count_warning(
+            jnp.sum(outliers),
+            "NonLocalSearch cvr path: queries exceeded flow_budget="
+            f"{cfg.get('flow_budget', 8)}/spread_budget="
+            f"{cfg.get('spread_budget', 8)} and carry init-valued dists; "
+            "raise the budgets or use flow_budget='auto'")
+        if lazy:
+            return _pallas_topk_aux(
+                dists, aux_or_i3, self_action=cfg["self_action"],
+                k=cfg["k"], dist_type=cfg["dist_type"])
+        inds3 = aux_or_i3
+    elif _use_pallas_path(cfg, vid0.shape):
         from stnls_tpu.ops.nls_pallas import nls_pallas_volume
         from stnls_tpu.utils.debug import emit_count_warning
         nH = flows.shape[-2] if flows.ndim >= 7 else vid0.shape[-2]
@@ -722,7 +810,7 @@ class NonLocalSearch:
                  off_Hq=0, off_Wq=0, strideQ=None, itype="float",
                  impl="auto", flow_budget="auto", cv_tile=None,
                  spread_budget=8, qchunk=None, band_dtype=None,
-                 grad="auto", channel_chunk=4):
+                 grad="auto", channel_chunk=4, mx_precision="high"):
         self.cfg = dict(
             ws=ws, wt=wt, ps=ps, k=k, nheads=nheads, stride0=stride0,
             stride1=stride1, dist_type=dist_type, dilation=dilation, pt=pt,
@@ -732,7 +820,8 @@ class NonLocalSearch:
             k_agg=k_agg, off_Hq=off_Hq, off_Wq=off_Wq, strideQ=strideQ,
             itype=itype, impl=impl, flow_budget=flow_budget,
             cv_tile=cv_tile, spread_budget=spread_budget, qchunk=qchunk,
-            band_dtype=band_dtype, grad=grad, channel_chunk=channel_chunk)
+            band_dtype=band_dtype, grad=grad, channel_chunk=channel_chunk,
+            mx_precision=mx_precision)
         for key, val in self.cfg.items():
             setattr(self, key, val)
         # flow_budget="auto" resolves per call from the concrete flows;
@@ -817,7 +906,7 @@ def extract_config(cfg, restrict=True):
              "off_Hq": 0, "off_Wq": 0, "strideQ": None, "itype": "float",
              "impl": "auto", "flow_budget": 8, "spread_budget": 8,
              "cv_tile": None, "qchunk": None, "band_dtype": None,
-             "grad": "auto", "channel_chunk": 4}
+             "grad": "auto", "channel_chunk": 4, "mx_precision": "high"}
     return extract_pairs(cfg, pairs, restrict=restrict)
 
 
@@ -835,4 +924,4 @@ def init(cfg):
         impl=cfg.impl, flow_budget=cfg.flow_budget, cv_tile=cfg.cv_tile,
         spread_budget=cfg.spread_budget, qchunk=cfg.qchunk,
         band_dtype=cfg.band_dtype, grad=cfg.grad,
-        channel_chunk=cfg.channel_chunk)
+        channel_chunk=cfg.channel_chunk, mx_precision=cfg.mx_precision)
