@@ -183,13 +183,17 @@ def run(mode):
 
 
 def emit(mode, fps_windows, compile_s):
-    fps = max(fps_windows)
+    # median of the timing windows is the headline (VERDICT r2 weak #9);
+    # the best window and all windows stay in the artifact for the
+    # axon-tunnel-variance story (see module docstring).
+    fps = float(np.median(fps_windows))
     print(json.dumps({
         "metric": f"shifted-NLS attention {mode} frames/sec "
                   "(128^2,T=5,ws=5,wt=2,ps=3,K=10,HD=2,stride1=0.5)",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / A100_EST_FPS, 3),
+        "best": round(max(fps_windows), 2),
         "compile_s": round(compile_s, 1),
         "windows": [round(f, 2) for f in fps_windows],
     }))

@@ -390,10 +390,12 @@ def nl_scatter_add(vid, weights, flows, *, ps, strideIn, strideOut, pt=1,
     nl_t, nl_h, nl_w = _km_centers(f_km, ref_t, out_h, out_w, T, outH, outW,
                                    True)
 
-    vid_cf = vid.reshape(B, HD, T, F, H * W).transpose(0, 1, 3, 2, 4) \
-        .reshape(B, HD, F, T * H * W)
-    out_ch = [jnp.zeros((B, HD, T * outH * outW + 1), vid.dtype)
-              for _ in range(F)]
+    # rows-of-F layout: one gather/scatter moves a contiguous F-vector per
+    # edge instead of F scalar ops (the old per-channel Python loop issued
+    # F separate gathers+scatters per patch tap — pathological at scale)
+    vid_rf = vid.reshape(B, HD, T, F, H * W).transpose(0, 1, 2, 4, 3) \
+        .reshape(B, HD, T * H * W, F)
+    out_rf = jnp.zeros((B, HD, T * outH * outW + 1, F), vid.dtype)
     cnt_flat = jnp.zeros(outH * outW + 1, vid.dtype)
 
     t_g = ref_t[None, None, None, :, None, None]
@@ -429,11 +431,11 @@ def nl_scatter_add(vid, weights, flows, *, ps, strideIn, strideOut, pt=1,
                 sidx = jnp.broadcast_to(sidx, (B, HD, K, T, nH, nW))
                 sidx_f = jnp.where(jnp.broadcast_to(ok, sidx.shape), sidx,
                                    T * outH * outW).reshape(B, HD, n)
-                for f in range(F):
-                    pix = _take1(vid_cf[:, :, f], ridx)
-                    val = jnp.where(ok, pix * w_km, 0.)
-                    out_ch[f] = out_ch[f].at[bi, hi_, sidx_f].add(
-                        val.reshape(B, HD, n))
+                pix = jnp.take_along_axis(
+                    vid_rf, ridx.reshape(B, HD, n)[..., None], axis=2)
+                val = jnp.where(ok.reshape(B, HD, n)[..., None],
+                                pix * w_km.reshape(B, HD, n)[..., None], 0.)
+                out_rf = out_rf.at[bi, hi_, sidx_f].add(val)
                 # counts: b=0, hd=0, query frame 0, all k (kernel :110-112)
                 if pk == 0:
                     cidx = (jnp.clip(sh, 0, outH - 1) * outW
@@ -444,8 +446,8 @@ def nl_scatter_add(vid, weights, flows, *, ps, strideIn, strideOut, pt=1,
                                       outH * outW)
                     cnt_flat = cnt_flat.at[cidx0.reshape(-1)].add(1.)
 
-    out = jnp.stack([c[..., :-1] for c in out_ch], axis=2) \
-        .reshape(B, HD, F, T, outH, outW).transpose(0, 1, 3, 2, 4, 5)
+    out = out_rf[:, :, :-1, :].reshape(B, HD, T, outH, outW, F) \
+        .transpose(0, 1, 2, 5, 3, 4)
     counts = cnt_flat[:-1].reshape(outH, outW)
     return out, counts
 
@@ -475,8 +477,11 @@ def nl_pool(vid, weights, flows, *, ps, stride0, pt=1, dilation=1,
     in_w = jnp.arange(nW, dtype=jnp.int32) * stride0
     nl_t, nl_h, nl_w = _km_centers(f_km, ref_t, in_h, in_w, T, H, W, True)
 
-    vid_cf = vid.reshape(B, HD, T, F, H * W).transpose(0, 1, 3, 2, 4) \
-        .reshape(B, HD, F, T * H * W)
+    # rows-of-F layout (one gather moves a full F-vector per edge; no
+    # per-channel Python loop)
+    vid_rf = vid.reshape(B, HD, T, F, H * W).transpose(0, 1, 2, 4, 3) \
+        .reshape(B, HD, T * H * W, F)
+    n = K * T * nH * nW
 
     out = jnp.zeros((B, HD, T, F, outH, outW), vid.dtype)
     counts = np.zeros((outH, outW), np.float32)
@@ -499,14 +504,18 @@ def nl_pool(vid, weights, flows, *, ps, stride0, pt=1, dilation=1,
                 if reflect_bounds_:
                     pw = reflect_bounds(pw, W)
                 corners = _pix_corners(ph, pw, H, W, True)
-                chans = []
-                for f in range(F):
-                    pix_f = 0.
-                    for wgt, idx in corners:
-                        pix_f = pix_f + wgt * _take1(vid_cf[:, :, f],
-                                                     nt * (H * W) + idx)
-                    chans.append(jnp.sum(pix_f * w_km, axis=2))
-                val = jnp.stack(chans, axis=3)  # [B,HD,T,F,nH,nW]
+                pix = 0.
+                for wgt, idx in corners:
+                    gi = jnp.broadcast_to(nt * (H * W) + idx,
+                                          (B, HD, K, T, nH, nW))
+                    pv = jnp.take_along_axis(
+                        vid_rf, gi.reshape(B, HD, n)[..., None], axis=2)
+                    wb = jnp.broadcast_to(wgt, (B, HD, K, T, nH, nW))
+                    pix = pix + wb.reshape(B, HD, n)[..., None] * pv
+                # pix [B,HD,n,F] -> weighted sum over K
+                pix = pix.reshape(B, HD, K, T, nH, nW, F)
+                val = jnp.moveaxis(jnp.sum(pix * w_km[..., None], axis=2),
+                                   -1, 3)          # [B,HD,T,F,nH,nW]
                 out = out.at[:, :, :, :, sh, sw].add(val[..., h0:h1, w0:w1])
                 if pk == 0:
                     counts[sh, sw] += 1
