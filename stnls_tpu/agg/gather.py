@@ -40,8 +40,8 @@ def _pallas_ok(impl, ps, stride0, pt, dilation, reflect_bounds, budget,
 
 def non_local_gather(vid, weights, flows, ps=7, stride0=4, pt=1,
                      reflect_bounds=True, dilation=1, use_adj=False,
-                     itype="float", impl="auto", budget=16, spread=16,
-                     wt_hint=None):
+                     itype="float", impl="auto", budget="auto",
+                     spread="auto", wt_hint=None):
     """vid [B,(HD),T,F,H,W]; weights [B,HD,T,nH,nW,K] or [B,HD,Q,K];
     flows [...,K,3] -> stack [B,HD,K,T,F,H,W]."""
     flows = ensure_flow_heads(flows)
@@ -56,6 +56,11 @@ def non_local_gather(vid, weights, flows, ps=7, stride0=4, pt=1,
     nH = (H - 1) // stride0 + 1
     nW = (W - 1) // stride0 + 1
     K = flows.shape[-2]
+    if budget in ("auto", None) or spread in ("auto", None):
+        from stnls_tpu.ops.agg_pallas import resolve_agg_budgets
+        budget, spread = resolve_agg_budgets(
+            flows, T=T, H=H, W=W, ps=ps, dilation=dilation,
+            use_adj=use_adj, budget=budget, spread=spread)
     if _pallas_ok(impl, ps, stride0, pt, dilation, reflect_bounds, budget,
                   spread, H, W):
         from stnls_tpu.ops.agg_pallas import nl_gather_stack_pallas
@@ -84,7 +89,7 @@ class NonLocalGather:
 
     def __init__(self, ps=7, stride0=4, pt=1, dilation=1,
                  reflect_bounds=True, use_adj=False, itype="float",
-                 impl="auto", budget=16, spread=16, wt_hint=None):
+                 impl="auto", budget="auto", spread="auto", wt_hint=None):
         self.ps = ps
         self.stride0 = stride0
         self.pt = pt
@@ -112,7 +117,7 @@ class NonLocalGather:
 def extract_config(cfg, restrict=True):
     pairs = {"ps": 7, "stride0": 4, "pt": 1, "dilation": 1,
              "reflect_bounds": True, "use_adj": False, "itype": "float",
-             "impl": "auto", "agg_budget": 16, "agg_spread": 16,
+             "impl": "auto", "agg_budget": "auto", "agg_spread": "auto",
              "wt_hint": None}
     return extract_pairs(cfg, pairs, restrict=restrict)
 

@@ -36,13 +36,20 @@ def _pallas_ok(impl, ps, strideIn, strideOut, outH, outW, pt, dilation,
 def non_local_gather_add(vid, weights, flows, ps=7, strideIn=4, strideOut=4,
                          outH=0, outW=0, pt=1, dilation=1,
                          reflect_bounds=True, use_adj=False, itype="float",
-                         impl="auto", budget=16, spread=16, wt_hint=None):
+                         impl="auto", budget="auto", spread="auto",
+                         wt_hint=None):
     flows = ensure_flow_heads(flows)
     HD = weights.shape[1]
     vid = ensure_ndim6(vid, HD)
     vid = expand_heads(vid, HD)
     flows = expand_heads(flows, HD)
     H, W = vid.shape[-2:]
+    if budget in ("auto", None) or spread in ("auto", None):
+        from stnls_tpu.ops.agg_pallas import resolve_agg_budgets
+        T = vid.shape[2]
+        budget, spread = resolve_agg_budgets(
+            flows, T=T, H=H, W=W, ps=ps, dilation=dilation,
+            use_adj=use_adj, budget=budget, spread=spread)
     if _pallas_ok(impl, ps, strideIn, strideOut, outH, outW, pt, dilation,
                   reflect_bounds, budget, spread, H, W):
         from stnls_tpu.ops.agg_pallas import nl_gather_stack_pallas
@@ -78,7 +85,7 @@ class NonLocalGatherAdd:
 
     def __init__(self, ps=7, strideIn=4, strideOut=4, outH=0, outW=0, pt=1,
                  dilation=1, reflect_bounds=True, use_adj=False,
-                 itype="float", impl="auto", budget=16, spread=16,
+                 itype="float", impl="auto", budget="auto", spread="auto",
                  wt_hint=None):
         self.ps = ps
         self.strideIn = strideIn
@@ -112,7 +119,7 @@ def extract_config(cfg, restrict=True):
     pairs = {"ps": 7, "strideIn": 4, "strideOut": 4, "outH": 0, "outW": 0,
              "pt": 1, "dilation": 1, "reflect_bounds": True,
              "use_adj": False, "itype": "float", "impl": "auto",
-             "agg_budget": 16, "agg_spread": 16}
+             "agg_budget": "auto", "agg_spread": "auto"}
     return extract_pairs(cfg, pairs, restrict=restrict)
 
 

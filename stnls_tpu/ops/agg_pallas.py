@@ -75,6 +75,88 @@ def agg_geometry(*, ps, dilation, use_adj, budget, spread):
                 patch_offset=patch_offset)
 
 
+AGG_BUDGET_BUCKETS = (4, 8, 12, 16, 24, 32, 48, 64)
+AGG_SPREAD_BUCKETS = (4, 8, 12, 16, 20, 24, 28)
+
+
+def resolve_agg_budgets(flows, *, T, H, W, ps, dilation, use_adj,
+                        budget, spread, tile=None):
+    """Resolve budget/spread == "auto" to static buckets from concrete
+    flows (mirror of search.resolve_flow_budget, VERDICT r2 #5: the
+    reference aggregates at ANY offset, gather_int_kernel.cu:49-92; the
+    TPU kernel's shift domain needs a static bound, derived from the data
+    when concrete). Under tracing falls back to the legacy defaults (16)
+    — out-of-budget edges are then flagged by the kernel's outlier mask.
+
+    flows: [..., K, 3] offsets (t, h, w), any leading shape that reshapes
+    to [B, HD, T, H, W, K, 3]. Returns (budget:int, spread:(int,int))."""
+    want_b = budget in ("auto", None)
+    want_s = spread in ("auto", None)
+    if not (want_b or want_s):
+        return budget, spread
+    fallback_b = 16 if want_b else int(budget)
+    fallback_s = 16 if want_s else spread
+    try:
+        f = np.asarray(jax.lax.stop_gradient(flows), np.float64)
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError):
+        return fallback_b, fallback_s
+    K = f.shape[-2]
+    f = f.reshape(-1, T, H, W, K, 3)
+    # ignore the reference's -1e8 "invalid" sentinels (they carry zero
+    # weight; gather_add zeroes them before the kernel)
+    f = np.where(np.abs(f) < 1e7, f, 0.)
+
+    def refl(val, lim):
+        out = np.where(val < 0, -val, val)
+        return np.where(val > (lim - 1), 2 * (lim - 1) - val, out)
+
+    r_h = np.arange(H, dtype=np.float64)[None, None, :, None, None]
+    r_w = np.arange(W, dtype=np.float64)[None, None, None, :, None]
+    fh = np.floor(refl(r_h + f[..., 1], H) - r_h)     # [N,T,H,W,K]
+    fw = np.floor(refl(r_w + f[..., 2], W) - r_w)
+    R = int(max(np.abs(fh).max(initial=0), np.abs(fw).max(initial=0), 1))
+    for b in AGG_BUDGET_BUCKETS:
+        if b >= R:
+            R = b
+            break
+    else:
+        R = AGG_BUDGET_BUCKETS[-1]
+    if not want_s:
+        return (R if want_b else int(budget)), fallback_s
+    # per-tile spread of the clipped floors over (K, tile rows + tap halo,
+    # all cols) — the exact spill condition of agg_pallas_prep
+    geo = agg_geometry(ps=ps, dilation=dilation, use_adj=use_adj,
+                       budget=R, spread=0)
+    hh = geo["hh"]
+    TH = tile if tile is not None else _largest_divisor_leq(H, 8)
+    fh_cl = np.clip(fh, -(R + 1), R + 1)
+    fw_cl = np.clip(fw, -(R + 1), R + 1)
+
+    def tile_spread(x):
+        mn = x.min(axis=(3, 4))                       # [N,T,H]
+        mx = x.max(axis=(3, 4))
+        s = 0
+        for i in range(0, H, TH):
+            lo, hi = max(0, i - hh), min(H, i + TH + hh)
+            s = max(s, int((mx[:, :, lo:hi].max(axis=2)
+                            - mn[:, :, lo:hi].min(axis=2)).max(initial=0)))
+        return s
+
+    # [N,T,H,W,K]: both row and col origins rebase per ROW tile (cols are
+    # not tiled), so both spreads window over the row axis
+    s_r, s_c = tile_spread(fh_cl), tile_spread(fw_cl)
+
+    def bucket(s):
+        for b in AGG_SPREAD_BUCKETS:
+            if b >= s:
+                return b
+        return AGG_SPREAD_BUCKETS[-1]
+
+    sb = (bucket(s_r), bucket(s_c))
+    return (R if want_b else int(budget)), sb
+
+
 def _colpad(x, lo, hi):
     pads = [(0, 0)] * (x.ndim - 1) + [(lo, hi)]
     return jnp.pad(x, pads)
