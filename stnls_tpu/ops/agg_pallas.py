@@ -53,7 +53,9 @@ def agg_pallas_supported(*, ps, stride0, dilation, pt, reflect_bounds_,
     geo = agg_geometry(ps=ps, dilation=dilation, use_adj=False,
                        budget=budget, spread=spread)
     return (pt == 1 and reflect_bounds_ and stride0 == 1
-            and geo["padS"] <= min(H, W) - 1)
+            and geo["padS"] <= min(H, W) - 1
+            # activity bitmask words hold one bit per local shift
+            and geo["ZL"] <= 31 and geo["ZLc"] <= 31)
 
 
 def agg_geometry(*, ps, dilation, use_adj, budget, spread):
@@ -120,8 +122,10 @@ def resolve_agg_budgets(flows, *, T, H, W, ps, dilation, use_adj,
         if b >= R:
             R = b
             break
-    else:
-        R = AGG_BUDGET_BUCKETS[-1]
+    # NO silent cap: when the need exceeds the largest bucket, R stays the
+    # true need — agg_pallas_supported then rejects the fast path (auto
+    # falls back to the exhaustive jnp engine; impl="pallas" asserts
+    # visibly) instead of silently dropping out-of-budget edges.
     if not want_s:
         return (R if want_b else int(budget)), fallback_s
     # per-tile spread of the clipped floors over (K, tile rows + tap halo,
@@ -151,7 +155,7 @@ def resolve_agg_budgets(flows, *, T, H, W, ps, dilation, use_adj,
         for b in AGG_SPREAD_BUCKETS:
             if b >= s:
                 return b
-        return AGG_SPREAD_BUCKETS[-1]
+        return int(s)  # no silent cap (see budget comment above)
 
     sb = (bucket(s_r), bucket(s_c))
     return (R if want_b else int(budget)), sb

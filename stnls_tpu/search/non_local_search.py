@@ -692,6 +692,42 @@ def nls_pipeline(vid0, vid1, flows, cfg):
             return _pallas_topk_aux(
                 dists, inds3, self_action=cfg["self_action"], k=cfg["k"],
                 dist_type=cfg["dist_type"])
+    elif _use_cvr_path(cfg, vid0.shape):
+        # reachable via impl="cvr" and as the auto fwd fallback for TPU
+        # configs the Pallas engine can't run (pallas precedes cvr: its
+        # hand-written VJP is the memory-sane default backward, VERDICT r2)
+        from stnls_tpu.ops.nls_cvr import nls_cvr_volume
+        from stnls_tpu.utils.debug import emit_count_warning
+        nH = flows.shape[-2] if flows.ndim >= 7 else vid0.shape[-2]
+        nW = flows.shape[-1] if flows.ndim >= 7 else vid0.shape[-1]
+        n_rb, n_cb = _pick_n_bands(cfg, vid0.shape, nH, nW)
+        if (n_rb > 1 or n_cb > 1) and cfg["topk_mode"] != "none" \
+                and cfg["k"] > 0:
+            return _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb,
+                                  engine="cvr")
+        lazy = _lazy_topk_ok(cfg)
+        dists, aux_or_i3, outliers = nls_cvr_volume(
+            vid0, vid1, flows, ws=cfg["ws"], wt=cfg["wt"], ps=cfg["ps"],
+            stride0=cfg["stride0"], stride1=cfg["stride1"],
+            dist_type=cfg["dist_type"], dilation=cfg["dilation"],
+            full_ws=cfg["full_ws"], use_adj=cfg["use_adj"],
+            itype=cfg["itype"],
+            flow_budget=cfg.get("flow_budget", 8),
+            spread_budget=cfg.get("spread_budget", 8),
+            tile=cfg.get("cv_tile") or (8, 16),
+            mx_precision=cfg.get("mx_precision", "high"),
+            return_aux=lazy)
+        emit_count_warning(
+            jnp.sum(outliers),
+            "NonLocalSearch cvr path: queries exceeded flow_budget="
+            f"{cfg.get('flow_budget', 8)}/spread_budget="
+            f"{cfg.get('spread_budget', 8)} and carry init-valued dists; "
+            "raise the budgets or use flow_budget='auto'")
+        if lazy:
+            return _pallas_topk_aux(
+                dists, aux_or_i3, self_action=cfg["self_action"],
+                k=cfg["k"], dist_type=cfg["dist_type"])
+        inds3 = aux_or_i3
     elif _use_cv_path(cfg, vid0.shape):
         from stnls_tpu.ops.nls_cv import nls_cv_volume
         dists, inds3, _ = nls_cv_volume(

@@ -111,3 +111,27 @@ def test_cvr_gradients_match_lattice():
         a, b = np.asarray(a), np.asarray(b)
         err = np.max(np.abs(a - b) / (np.abs(a) + 1.0))
         assert err < 5e-4, f"{name}: {err:.2e}"
+
+
+def test_impl_cvr_routes_to_cvr_engine(monkeypatch):
+    """impl="cvr" must actually run the cvr engine (regression: a routing
+    reorder once dropped the cvr branch from nls_pipeline, silently
+    falling through to the lattice engine)."""
+    import stnls_tpu.ops.nls_cvr as nls_cvr_mod
+    from stnls_tpu.search.non_local_search import NonLocalSearch
+
+    calls = []
+    orig = nls_cvr_mod.nls_cvr_volume
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(nls_cvr_mod, "nls_cvr_volume", spy)
+    vid0, vid1, flows = make_case(3, 1, 3, 1, 1)
+    search = NonLocalSearch(3, 1, ps=3, k=4, nheads=1, impl="cvr",
+                            self_action="anchor", itype="float",
+                            flow_budget=6, spread_budget=6)
+    d, i = search(vid0[:, 0], vid1[:, 0], flows)
+    assert calls, "impl='cvr' did not reach the cvr engine"
+    assert np.isfinite(np.asarray(d)).all()
