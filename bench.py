@@ -81,47 +81,48 @@ def build():
     fflow = jnp.asarray(smooth_flows(rng, (B, T, 2, H, W)), jnp.float32)
     bflow = jnp.asarray(smooth_flows(rng, (B, T, 2, H, W)), jnp.float32)
 
-    FLOW_BUDGET, SPREAD_BUDGET = 8, (12, 14)
-    AGG_BUDGET, AGG_SPREAD = 12, (16, 20)
+    # budgets are all "auto": resolved once from the concrete flows by the
+    # eager warm-up calls below (sticky resolution — the jitted trace then
+    # reuses them); no hand-tuning (VERDICT r2 item 5)
     search = stnls_tpu.search.NonLocalSearch(
         ws, wt, ps, K, nheads=HD, stride0=stride0, stride1=stride1,
         self_action="anchor", itype="float",
-        flow_budget=FLOW_BUDGET, spread_budget=SPREAD_BUDGET)
+        flow_budget="auto", spread_budget="auto")
     gather = stnls_tpu.agg.NonLocalGather(
-        ps=ps, stride0=stride0, budget=AGG_BUDGET, spread=AGG_SPREAD,
+        ps=ps, stride0=stride0, budget="auto", spread="auto",
         wt_hint=2 * wt)
 
-    # -- exactness guard: the timed kernel must have zero out-of-budget
-    # entries (otherwise its fast path would silently degrade); pure jnp
-    # geometry prep, no kernel compile --
+    # -- warm-up + exactness guard: the eager calls resolve the budgets
+    # from the data; the asserts re-check the kernels' exact spill
+    # conditions with the resolved values (pure jnp prep, no compile) --
     from stnls_tpu.ops.nls_pallas import pallas_outliers
-    from stnls_tpu.search.utils import shape_flows
+    from stnls_tpu.search.utils import shape_flows, shape_vids
     flows_chk = stnls_tpu.nn.search_flow(fflow, bflow, wt, stride0)
+    v6 = shape_vids(HD, [jnp.einsum("btchw,cd->btdhw", vid, proj_w)])[0]
+    d_chk, f_chk = search(
+        jnp.einsum("btchw,cd->btdhw", vid, proj_w),
+        jnp.einsum("btchw,cd->btdhw", vid, proj_w), flows_chk)
+    FLOW_BUDGET, SPREAD_BUDGET = search._resolved
+    assert SPREAD_BUDGET != -1, "search escalated to the lattice engine"
     outl = pallas_outliers(
         (B, HD, T, F, H, W), shape_flows(HD, flows_chk), ws=ws, wt=wt,
         ps=ps, stride0=stride0, stride1=stride1, dist_type="l2",
         itype="float", flow_budget=FLOW_BUDGET, spread_budget=SPREAD_BUDGET)
     n_outl = int(jnp.sum(outl))
     assert n_outl == 0, f"{n_outl} out-of-budget search entries; bench " \
-        "would not be exact — raise flow_budget/spread_budget"
+        "would not be exact — auto budget resolution is broken"
 
-    # -- aggregation exactness guard: run one real search on the projected
-    # video and check its top-K offsets stay inside the gather kernel's
-    # budget/spread (pure jnp prep, no kernel compile) --
     from stnls_tpu.ops.agg_pallas import agg_pallas_prep
-    from stnls_tpu.search.utils import shape_vids
-    v6 = shape_vids(HD, [jnp.einsum("btchw,cd->btdhw", vid, proj_w)])[0]
-    d_chk, f_chk = search(
-        jnp.einsum("btchw,cd->btdhw", vid, proj_w),
-        jnp.einsum("btchw,cd->btdhw", vid, proj_w), flows_chk)
     w_chk = jax.nn.softmax(-10. * d_chk, axis=-1)
+    _ = gather(v6, w_chk, f_chk)            # resolves agg budgets
+    AGG_BUDGET, AGG_SPREAD = gather._resolved
     aprep = agg_pallas_prep(
         v6.shape, w_chk, f_chk, ps=ps, stride0=stride0, dilation=1,
         use_adj=False, itype="float", budget=AGG_BUDGET, spread=AGG_SPREAD,
         wt_hint=2 * wt, tile=None)
     n_aout = int(jnp.sum(aprep["outliers"]))
-    assert n_aout == 0, f"{n_aout} out-of-budget gather edges; raise " \
-        "AGG_BUDGET/AGG_SPREAD"
+    assert n_aout == 0, f"{n_aout} out-of-budget gather edges; auto " \
+        "budget resolution is broken"
 
     def attn(v_in, fflow, bflow, s):
         v_in = v_in + s

@@ -109,7 +109,8 @@ def config_2():
         "bench_mod", "/root/repo/bench.py")
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
-    fps, compile_s = bench.run("fwd+bwd")
+    fps_windows, compile_s = bench.run("fwd+bwd")
+    fps = float(np.median(fps_windows))
     return dict(config="readme128_float_fwd+bwd", frames=5, sec=5. / fps,
                 compile_s=compile_s)
 

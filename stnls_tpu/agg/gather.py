@@ -60,7 +60,8 @@ def non_local_gather(vid, weights, flows, ps=7, stride0=4, pt=1,
         from stnls_tpu.ops.agg_pallas import resolve_agg_budgets
         budget, spread = resolve_agg_budgets(
             flows, T=T, H=H, W=W, ps=ps, dilation=dilation,
-            use_adj=use_adj, budget=budget, spread=spread)
+            use_adj=use_adj, budget=budget, spread=spread,
+            stride0=stride0)
     if _pallas_ok(impl, ps, stride0, pt, dilation, reflect_bounds, budget,
                   spread, H, W):
         from stnls_tpu.ops.agg_pallas import nl_gather_stack_pallas
@@ -83,6 +84,35 @@ def non_local_gather(vid, weights, flows, ps=7, stride0=4, pt=1,
         itype=itype)
 
 
+def _sticky_budgets(module, vid, flows, ps, dilation, use_adj,
+                    stride0=1):
+    """Sticky auto-budget resolution for agg modules: budgets resolved
+    from concrete flows are remembered on the module, so a later jitted
+    call (traced flows, nothing to resolve from) reuses them instead of
+    the legacy fallback. Warm up with one eager call before jitting."""
+    import jax
+    import jax.numpy as jnp
+    budget, spread = module.budget, module.spread
+    want = (budget in ("auto", None)) or (spread in ("auto", None))
+    if not want:
+        return budget, spread
+    if isinstance(jnp.asarray(flows), jax.core.Tracer):
+        got = getattr(module, "_resolved", None)
+        if got is not None:
+            rb, rs = got
+            return (rb if budget in ("auto", None) else budget,
+                    rs if spread in ("auto", None) else spread)
+        return budget, spread
+    from stnls_tpu.ops.agg_pallas import resolve_agg_budgets
+    T, H, W = vid.shape[-4], vid.shape[-2], vid.shape[-1]
+    rb, rs = resolve_agg_budgets(flows, T=T, H=H, W=W, ps=ps,
+                                 dilation=dilation, use_adj=use_adj,
+                                 budget=budget, spread=spread,
+                                 stride0=stride0)
+    module._resolved = (rb, rs)
+    return rb, rs
+
+
 class NonLocalGather:
     """stacking = NonLocalGather(ps, stride0); stack = stacking(vid, weights,
     flows) (reference gather.py:263-276)."""
@@ -103,10 +133,13 @@ class NonLocalGather:
         self.wt_hint = wt_hint
 
     def __call__(self, vid, weights, flows):
+        budget, spread = _sticky_budgets(self, vid, flows, self.ps,
+                                         self.dilation, self.use_adj,
+                                         stride0=self.stride0)
         return non_local_gather(vid, weights, flows, self.ps, self.stride0,
                                 self.pt, self.reflect_bounds, self.dilation,
                                 self.use_adj, self.itype, self.impl,
-                                self.budget, self.spread, self.wt_hint)
+                                budget, spread, self.wt_hint)
 
     forward = __call__
 

@@ -49,7 +49,8 @@ def non_local_gather_add(vid, weights, flows, ps=7, strideIn=4, strideOut=4,
         T = vid.shape[2]
         budget, spread = resolve_agg_budgets(
             flows, T=T, H=H, W=W, ps=ps, dilation=dilation,
-            use_adj=use_adj, budget=budget, spread=spread)
+            use_adj=use_adj, budget=budget, spread=spread,
+            stride0=strideIn)
     if _pallas_ok(impl, ps, strideIn, strideOut, outH, outW, pt, dilation,
                   reflect_bounds, budget, spread, H, W):
         from stnls_tpu.ops.agg_pallas import nl_gather_stack_pallas
@@ -103,11 +104,15 @@ class NonLocalGatherAdd:
         self.wt_hint = wt_hint
 
     def __call__(self, vid, weights, flows):
+        from stnls_tpu.agg.gather import _sticky_budgets
+        budget, spread = _sticky_budgets(self, vid, flows, self.ps,
+                                         self.dilation, self.use_adj,
+                                         stride0=self.strideIn)
         return non_local_gather_add(
             vid, weights, flows, self.ps, self.strideIn, self.strideOut,
             self.outH, self.outW, self.pt, self.dilation,
             self.reflect_bounds, self.use_adj, self.itype, self.impl,
-            self.budget, self.spread, self.wt_hint)
+            budget, spread, self.wt_hint)
 
     forward = __call__
 

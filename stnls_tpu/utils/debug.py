@@ -7,6 +7,15 @@ XLA has no device-side asserts; when enabled these insert host callbacks
 the callbacks cost a device->host sync, so enable only while debugging:
 
     stnls_tpu.utils.debug.set_debug_checks(True)
+
+Budget-violation surfacing is layered and the FIRST layer is always on
+(VERDICT r2 #4): with the default budget/spread "auto" knobs, eager
+calls resolve budgets from the concrete flows against the kernels' exact
+spill conditions — the fast path is exact or the call escalates to an
+exhaustive engine with a Python RuntimeWarning (search) / falls back to
+the exhaustive jnp engine (agg). Only fully-traced calls (user jit with
+no eager warm-up) rely on this module's opt-in callbacks to surface
+spills at runtime.
 """
 
 import warnings

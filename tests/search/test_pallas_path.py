@@ -93,7 +93,7 @@ GRAD_CONFIGS = [
 
 
 @pytest.mark.parametrize("cfg", [
-    pytest.param(c, marks=() if i in (0, 3) else (pytest.mark.slow,))
+    pytest.param(c, marks=() if i in (0, 1, 3) else (pytest.mark.slow,))
     for i, c in enumerate(GRAD_CONFIGS)])
 def test_pallas_gradients_match_lattice(cfg):
     """vid0/vid1/flow grads of the Pallas custom VJP vs autodiff of the
