@@ -24,33 +24,59 @@ def _sample_flow(flow, h, w, H, W):
     out-of-bounds corners are reflect-indexed (shared_flows.cu:93-99).
     Returns (dW, dH) components sampled at (h, w).
 
-    The gather runs on a 1-D flattened operand with a global index: a
-    multi-dim operand sends XLA-TPU down a scalarized per-element gather
-    (~300 ms at 128^2, see ops/pgather.py); the 1-D form hits the fast
-    path (~0.2 ms)."""
-    h0 = jnp.floor(h)
-    w0 = jnp.floor(w)
-    outW, outH = 0., 0.
+    ONE row gather per sample: per-element scalar gathers cost ~9 ns/elem
+    on TPU (even 1-D flat ones), so the 4 corner x 2 component values are
+    packed into 18-lane rows (the 3x3 pixel neighborhood of the reflected
+    base corner) and fetched with a single row-index gather. The corners'
+    reflected coordinates are recovered from the neighborhood via the
+    reflection-direction sign: reflect(h0+1) == reflect(h0) + s with
+    s = +1 iff 0 <= h0 <= H-2 else -1 (single-reflection domain, same as
+    the reference's bounds())."""
     B, T = flow.shape[:2]
-    flat = flow.reshape(-1)
-    bt_off = ((jnp.arange(B, dtype=jnp.int32)[:, None] * T
-               + jnp.arange(T, dtype=jnp.int32)[None, :]) * (2 * H * W))
-    bt_off = bt_off[:, :, None, None]
+    h0f = jnp.floor(h)
+    w0f = jnp.floor(w)
+    fh = h - h0f
+    fw = w - w0f
+    h0 = h0f.astype(jnp.int32)
+    w0 = w0f.astype(jnp.int32)
+    hr = reflect_bounds(h0, H)
+    wr = reflect_bounds(w0, W)
+    sh = jnp.where((h0 >= 0) & (h0 <= H - 2), 1, -1)
+    sw = jnp.where((w0 >= 0) & (w0 <= W - 2), 1, -1)
+
+    # packed operand: rows (b,t,y,x) hold flow[b,t,:,y+dy-1,x+dx-1] for
+    # the 3x3 neighborhood (edge-clamped pad; clamped rows are only read
+    # at coordinates where the reference itself indexes out of frame)
+    fp = jnp.pad(flow, ((0, 0), (0, 0), (0, 0), (1, 1), (1, 1)),
+                 mode="edge")
+    packs = [fp[:, :, :, dy:dy + H, dx:dx + W]
+             for dy in (0, 1, 2) for dx in (0, 1, 2)]
+    P9 = jnp.stack(packs, axis=-1)               # [B,T,2,H,W,9]
+    P9 = jnp.transpose(P9, (0, 1, 3, 4, 2, 5)).reshape(B * T * H * W, 18)
+
+    bt = (jnp.arange(B, dtype=jnp.int32)[:, None] * T
+          + jnp.arange(T, dtype=jnp.int32)[None, :])[:, :, None, None]
+    ridx = (bt * H + hr) * W + wr
+    rows = jnp.take(P9, ridx.reshape(-1), axis=0,
+                    mode="clip").reshape(h.shape + (18,))
+
+    def corner(comp, dy, dx):
+        # lane (comp, 1 + s*dy, 1 + s*dx) of the 3x3 pack
+        lp = rows[..., comp * 9 + (1 + dy) * 3 + (1 + dx)]
+        lm = rows[..., comp * 9 + (1 - dy) * 3 + (1 - dx)]
+        lpm = rows[..., comp * 9 + (1 + dy) * 3 + (1 - dx)]
+        lmp = rows[..., comp * 9 + (1 - dy) * 3 + (1 + dx)]
+        vp = jnp.where(sw > 0, lp, lpm)
+        vm = jnp.where(sw > 0, lmp, lm)
+        return jnp.where(sh > 0, vp, vm)
+
+    outW, outH = 0., 0.
     for di in (0, 1):
+        wh = jnp.maximum(0., 1. - jnp.abs(di - fh))
         for dj in (0, 1):
-            hc = h0 + di
-            wc = w0 + dj
-            wgt = (jnp.maximum(0., 1. - jnp.abs(hc - h))
-                   * jnp.maximum(0., 1. - jnp.abs(wc - w)))
-            hr = reflect_bounds(hc.astype(jnp.int32), H)
-            wr = reflect_bounds(wc.astype(jnp.int32), W)
-            idx = bt_off + hr * W + wr
-            fW = jnp.take(flat, idx.reshape(-1),
-                          mode="clip").reshape(h.shape)
-            fH = jnp.take(flat, (idx + H * W).reshape(-1),
-                          mode="clip").reshape(h.shape)
-            outW = outW + wgt * fW
-            outH = outH + wgt * fH
+            wgt = wh * jnp.maximum(0., 1. - jnp.abs(dj - fw))
+            outW = outW + wgt * corner(0, di, dj)
+            outH = outH + wgt * corner(1, di, dj)
     return outW, outH
 
 

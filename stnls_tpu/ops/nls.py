@@ -350,8 +350,16 @@ def refine_search_volume(vid0, vid1, flows_k, *, ws, wr, ps, stride0,
 
     flows_k [B,HDf,T,nH,nW,Ks,3] relative offsets. Returns
     (dists [B,HD,T,Ks,wr,wr,nH,nW], inds3 [3,...]).
+
+    `restricted_radius` is accepted for API parity and ignored — exactly
+    as in the reference, whose kernels never read it: the int kernel
+    carries it only as commented-out "[unused]" code
+    (refinement_int_kernel.cu:123-127) and the bilin2d kernel threads the
+    flag through without using it (refinement_bilin2d_kernel.cu:28,
+    :131-133 "[unused] set search bounds"); `ws` exists only to bound
+    that dead option.
     """
-    del ws, restricted_radius  # `ws` only bounds the radius option (unused)
+    del ws, restricted_radius
     B, HD, T, F, qH, qW = vid0.shape
     kH, kW = vid1.shape[-2:]
     is_int = (itype == "int")

@@ -222,6 +222,16 @@ def _make_fwd_kernel(cfg):
     pad0 = cfg["pad0"]
     s1 = float(cfg["stride1"])
     init_val = float(dist_type_select(cfg["dist_type"])[2])
+    # emit="topk": fused in-kernel top-K over the W_t x ws x ws candidate
+    # set (grid gains an st axis; the running K-list lives in VMEM and the
+    # [ws,ws] volume never reaches HBM) — the SURVEY §7 design promise,
+    # replacing the reference's separate torch argsort
+    # (lib/stnls/search/impl/non_local_search.py:118-134).
+    emit = cfg.get("emit", "volume")
+    W_t = cfg.get("W_t", None)
+    n_slots = cfg.get("n_slots", 0)
+    anchor = bool(cfg.get("anchor", False))
+    descending = dist_type_select(cfg["dist_type"])[1]
     dm = kernel_dims(cfg)
     (TPH, TPW, TPHx, TPWx, RH, RW, AH, AW, XFH, XFW) = (
         dm["TPH"], dm["TPW"], dm["TPHx"], dm["TPWx"], dm["RH"], dm["RW"],
@@ -241,16 +251,31 @@ def _make_fwd_kernel(cfg):
     save_acc = bool(cfg.get("save_acc", False))
 
     def kernel(scal_ref, v0_ref, v1_ref, l0h_ref, l0w_ref, th_ref, tw_ref,
-               ctrh_ref, ctrw_ref, offh_ref, offw_ref, out_ref, *rest):
+               ctrh_ref, ctrw_ref, offh_ref, offw_ref, *rest):
+        if emit == "topk":
+            outl_ref, selfid_ref = rest[0], rest[1]
+            outd_ref, outi_ref, outs_ref = rest[2], rest[3], rest[4]
+            rest = rest[5:]
+        else:
+            out_ref, rest = rest[0], rest[1:]
         # with save_acc the selected corner-window volume is emitted as a
         # residual so the backward kernel can skip its recompute sweep
         if save_acc:
             accout_ref, rest = rest[0], rest[1:]
+        if emit == "topk":
+            (tkv_ref, tki_ref, selfv_ref, d0v_ref) = rest[:4]
+            rest = rest[4:]
         (v0w_ref, rawscr_ref, bst_ref, ast_ref, xst_ref, acc_ref,
          selw_ref, sem0, sem1) = rest
         bh = pl.program_id(0)
-        p = pl.program_id(1)
-        t = pl.program_id(2)
+        if emit == "topk":
+            ti = pl.program_id(1)
+            t = pl.program_id(2)
+            st = pl.program_id(3)
+            p = ti * W_t + st
+        else:
+            p = pl.program_id(1)
+            t = pl.program_id(2)
         ti = scal_ref[bh, p, t, 2]
         tj = scal_ref[bh, p, t, 3]
         tyv = scal_ref[bh, p, t, 4]   # global v0 row origin (band-aware)
@@ -405,6 +430,38 @@ def _make_fwd_kernel(cfg):
         offw = offw_ref[0, 0, 0]
         whc = (1. - th, th)
         wvc = (1. - tw, tw)
+        if emit == "topk":
+            # reset the running K-list at the start of each query frame's
+            # temporal window
+            @pl.when(st == 0)
+            def _():
+                tkv_ref[:] = jnp.full_like(tkv_ref, init_val)
+                tki_ref[:] = jnp.zeros_like(tki_ref)
+                selfv_ref[:] = jnp.full_like(selfv_ref, init_val)
+                if anchor:
+                    d0v_ref[:] = jnp.full_like(d0v_ref, init_val)
+            outl_b = outl_ref[0, 0, 0] != 0
+            if anchor:
+                selfid = selfid_ref[0, 0, 0]
+
+            def insert(cand, sid):
+                """Bubble the candidate plane into the sorted K-list.
+
+                Strict compare: ties keep the earlier-inserted entry —
+                candidates arrive in increasing flat-cell order, matching
+                lax.top_k's stable lowest-index-wins tie rule."""
+                carry_v = cand
+                carry_i = jnp.zeros((TH, TW), jnp.int32) + sid
+                for s in range(n_slots):
+                    inc_v = tkv_ref[s]
+                    inc_i = tki_ref[s]
+                    b = (carry_v > inc_v) if descending \
+                        else (carry_v < inc_v)
+                    tkv_ref[s] = jnp.where(b, carry_v, inc_v)
+                    tki_ref[s] = jnp.where(b, carry_i, inc_i)
+                    carry_v = jnp.where(b, inc_v, carry_v)
+                    carry_i = jnp.where(b, inc_i, carry_i)
+
         if dist_is_l2:
             ps0 = tapsum(jnp.sum(v0w * v0w, axis=1))
         for i in range(ws):
@@ -433,7 +490,40 @@ def _make_fwd_kernel(cfg):
                             d = d + wgt * xv
                 valid = jnp.logical_and(vh, vw)
                 d = jnp.where(valid, d, init_val)
-                out_ref[0, 0, 0, i * ws + j] = d
+                if emit == "volume":
+                    out_ref[0, 0, 0, i * ws + j] = d
+                    continue
+                # ---- fused top-K emission ----
+                d_m = jnp.where(outl_b, init_val, d)
+                sid = st * (ws * ws) + (i * ws + j)
+                if anchor:
+                    # mirror of the lazy path's d_anch (non_local_search.
+                    # _pallas_topk_aux): the self cell is pulled out to
+                    # slot 0, its position holds the original cell-0
+                    # value, and position 0 is excluded from ranking
+                    is_self = selfid == sid
+                    selfv_ref[:] = jnp.where(is_self, d_m, selfv_ref[:])
+                    if i == 0 and j == 0:
+                        @pl.when(st == 0)
+                        def _():
+                            d0v_ref[:] = d_m
+
+                        @pl.when(st != 0)
+                        def _():
+                            insert(jnp.where(is_self, d0v_ref[:], d_m),
+                                   sid)
+                    else:
+                        insert(jnp.where(is_self, d0v_ref[:], d_m), sid)
+                else:
+                    insert(d_m, sid)
+
+        if emit == "topk":
+            @pl.when(st == W_t - 1)
+            def _():
+                for s in range(n_slots):
+                    outd_ref[0, 0, 0, s] = tkv_ref[s]
+                    outi_ref[0, 0, 0, s] = tki_ref[s]
+                outs_ref[0, 0, 0] = selfv_ref[:]
 
         if save_acc:
             accout_ref[0, 0, 0] = acc_ref[...]
@@ -442,58 +532,118 @@ def _make_fwd_kernel(cfg):
 
 
 def _fwd_pallas_call(cfg, v0e, v1p, scal, l0h, l0w, th, tw, ctrh, ctrw,
-                     offh, offw, interpret):
+                     offh, offw, interpret, outlp=None, selfidp=None):
     BH, P, nT = scal.shape[:3]
     TH, TW, F = cfg["TH"], cfg["TW"], cfg["F"]
     ws = cfg["ws"]
+    emit = cfg.get("emit", "volume")
     kernel, dm = _make_fwd_kernel(cfg)
-    qspec = pl.BlockSpec((1, 1, 1, TH, TW),
-                         lambda bh, p, t, *_: (bh, p, t, 0, 0),
-                         memory_space=pltpu.VMEM)
     save_acc = bool(cfg.get("save_acc", False))
     nacc = dm["nfam"] * cfg["Sp"] * cfg["Sp"]
-    dspec = pl.BlockSpec(
-        (1, 1, 1, ws * ws, TH, TW),
-        lambda bh, p, t, *_: (bh, p, t, 0, 0, 0),
+    scratch = [
+        pltpu.VMEM((dm["TPHx"], F, dm["VWc"]), jnp.float32),
+        pltpu.VMEM((dm["RH"], F, dm["RWc"]), jnp.float32),
+        pltpu.VMEM((dm["NR"], dm["AH"], F, dm["AWb"]), jnp.float32),
+        pltpu.VMEM((dm["NR"] * dm["NS"], dm["AH"], F, dm["AW"]),
+                   jnp.float32),
+        pltpu.VMEM((dm["XFH"], dm["NXST"], dm["XFW"]), jnp.float32),
+        pltpu.VMEM((dm["nfam"] * cfg["Sp"] * cfg["Sp"], TH, TW),
+                   jnp.float32),
+        pltpu.VMEM((dm["nfam"] * cfg["Sp"], TH, TW), jnp.float32),
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    if emit == "volume":
+        qspec = pl.BlockSpec((1, 1, 1, TH, TW),
+                             lambda bh, p, t, *_: (bh, p, t, 0, 0),
+                             memory_space=pltpu.VMEM)
+        dspec = pl.BlockSpec(
+            (1, 1, 1, ws * ws, TH, TW),
+            lambda bh, p, t, *_: (bh, p, t, 0, 0, 0),
+            memory_space=pltpu.VMEM)
+        accspec = pl.BlockSpec(
+            (1, 1, 1, nacc, TH, TW),
+            lambda bh, p, t, *_: (bh, p, t, 0, 0, 0),
+            memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(BH, P, nT),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),   # v0e
+                pl.BlockSpec(memory_space=pl.ANY),   # v1p
+                qspec, qspec, qspec, qspec, qspec, qspec, qspec, qspec,
+            ],
+            out_specs=(dspec, accspec) if save_acc else dspec,
+            scratch_shapes=scratch)
+        out_shape = jax.ShapeDtypeStruct((BH, P, nT, ws * ws, TH, TW),
+                                         jnp.float32)
+        if save_acc:
+            out_shape = (out_shape,
+                         jax.ShapeDtypeStruct((BH, P, nT, nacc, TH, TW),
+                                              jnp.float32))
+        return pl.pallas_call(
+            kernel, out_shape=out_shape, grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024),
+            interpret=interpret,
+        )(scal, v0e, v1p, l0h, l0w, th, tw, ctrh, ctrw, offh, offw)
+
+    # ---- emit == "topk": grid (BH, Tq, nT, W_t), st minor so the
+    # running K-list accumulates across the temporal window ----
+    W_t = cfg["W_t"]
+    n_slots = cfg["n_slots"]
+    Tq = P // W_t
+    assert Tq * W_t == P
+
+    def pair_ix(bh, ti, t, st, *_):
+        return (bh, ti * W_t + st, t, 0, 0)
+
+    qspec = pl.BlockSpec((1, 1, 1, TH, TW), pair_ix,
+                         memory_space=pltpu.VMEM)
+    selfspec = pl.BlockSpec((1, 1, 1, TH, TW),
+                            lambda bh, ti, t, st, *_: (bh, ti, t, 0, 0),
+                            memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec(
+        (1, 1, 1, n_slots, TH, TW),
+        lambda bh, ti, t, st, *_: (bh, ti, t, 0, 0, 0),
         memory_space=pltpu.VMEM)
     accspec = pl.BlockSpec(
         (1, 1, 1, nacc, TH, TW),
-        lambda bh, p, t, *_: (bh, p, t, 0, 0, 0),
+        lambda bh, ti, t, st, *_: (bh, ti * W_t + st, t, 0, 0, 0),
         memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(BH, P, nT),
+        grid=(BH, Tq, nT, W_t),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # v0e
             pl.BlockSpec(memory_space=pl.ANY),   # v1p
             qspec, qspec, qspec, qspec, qspec, qspec, qspec, qspec,
+            qspec,                               # outlp [BH,P,nT,TH,TW]
+            selfspec,                            # selfidp [BH,Tq,nT,TH,TW]
         ],
-        out_specs=(dspec, accspec) if save_acc else dspec,
+        out_specs=(kspec, kspec, selfspec) + ((accspec,) if save_acc
+                                              else ()),
         scratch_shapes=[
-            pltpu.VMEM((dm["TPHx"], F, dm["VWc"]), jnp.float32),
-            pltpu.VMEM((dm["RH"], F, dm["RWc"]), jnp.float32),
-            pltpu.VMEM((dm["NR"], dm["AH"], F, dm["AWb"]), jnp.float32),
-            pltpu.VMEM((dm["NR"] * dm["NS"], dm["AH"], F, dm["AW"]),
-                       jnp.float32),
-            pltpu.VMEM((dm["XFH"], dm["NXST"], dm["XFW"]), jnp.float32),
-            pltpu.VMEM((dm["nfam"] * cfg["Sp"] * cfg["Sp"], TH, TW),
-                       jnp.float32),
-            pltpu.VMEM((dm["nfam"] * cfg["Sp"], TH, TW), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-        ])
-    out_shape = jax.ShapeDtypeStruct((BH, P, nT, ws * ws, TH, TW),
-                                     jnp.float32)
+            pltpu.VMEM((n_slots, TH, TW), jnp.float32),   # tkv
+            pltpu.VMEM((n_slots, TH, TW), jnp.int32),     # tki
+            pltpu.VMEM((TH, TW), jnp.float32),            # selfv
+            pltpu.VMEM((TH, TW), jnp.float32),            # d0v
+        ] + scratch)
+    out_shape = (
+        jax.ShapeDtypeStruct((BH, Tq, nT, n_slots, TH, TW), jnp.float32),
+        jax.ShapeDtypeStruct((BH, Tq, nT, n_slots, TH, TW), jnp.int32),
+        jax.ShapeDtypeStruct((BH, Tq, nT, TH, TW), jnp.float32),
+    )
     if save_acc:
-        out_shape = (out_shape,
-                     jax.ShapeDtypeStruct((BH, P, nT, nacc, TH, TW),
-                                          jnp.float32))
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((BH, P, nT, nacc, TH, TW), jnp.float32),)
     return pl.pallas_call(
         kernel, out_shape=out_shape, grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
-    )(scal, v0e, v1p, l0h, l0w, th, tw, ctrh, ctrw, offh, offw)
+    )(scal, v0e, v1p, l0h, l0w, th, tw, ctrh, ctrw, offh, offw,
+      outlp, selfidp)
 
 
 # ---------------------------------------------------------------------------
@@ -652,33 +802,15 @@ def pallas_pad_vids(vid0, vid1, *, ws, ps, stride1, dilation=1,
     return _pad_vids(vid0, vid1, geo["pad0"], geo["pad1"])
 
 
-def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
-                      dist_type="l2", dilation=1, full_ws=True,
-                      use_adj=False, itype="float", flow_budget=8,
-                      spread_budget=8, tile=None, interpret=None,
-                      row0=0, col0=0, padded_vids=None, save_acc="auto",
-                      _stage="full", _bskip="", predicate=True,
-                      return_aux=False, query_t0=None, T_global=None):
-    """Pallas-kernel NLS volume. Returns (dists [B,HD,T,W_t,ws,ws,nH,nW],
-    inds3 [3,...], outliers [B,HD,T,W_t,nH,nW]).
-
-    row0 + banded flows (nH_band rows) restrict the query grid to a row
-    band — the memory-bounded streaming path (SURVEY hard part #5) maps
-    over bands so nothing search-volume-sized for the full frame is ever
-    materialized. padded_vids (from pallas_pad_vids) lets the band loop
-    reuse one padded copy of the videos across bands.
-
-    query_t0 + T_global: temporal-chunk mode for time sharding (the
-    TPU-native analog of the reference's paired_vids streaming,
-    search/utils.py:339-382). vid0/vid1 then hold T_local + 2*halo local
-    frames, flows cover only the T_local query frames, and query_t0 (a
-    possibly-traced global index of the first local frame) drives the
-    boundary-shifted window tables — queries stay local, only the halo
-    rides the ICI ring (parallel/shard.py)."""
+def _build_inputs(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
+                  dist_type, dilation, full_ws, use_adj, itype,
+                  flow_budget, spread_budget, tile, row0, col0,
+                  padded_vids, query_t0, T_global, _stage="full",
+                  _bskip="", predicate=True):
+    """Shared geometry/DMA-scalar setup for the volume and fused-top-K
+    entry points. Returns everything the kernel calls need."""
     B, HD, T, F, H, W = vid0.shape
     assert vid1.shape[-2:] == (H, W)
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
 
     # ---- per-query center / window / lattice-anchor prep (differentiable
     # where the reference is: th/tw carry the flow gradient) ----
@@ -693,10 +825,7 @@ def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
     TW = nW      # full query rows (columns are not tiled)
     ctr_h, ctr_w = prep["ctr_h"], prep["ctr_w"]
     off_h, off_w = prep["off_h"], prep["off_w"]
-    th, tw = prep["th"], prep["tw"]
     l0h, oh_t = prep["l0h"], prep["oh_t"]
-    outliers = prep["outliers"]
-    base_h, base_w = prep["base_h"], prep["base_w"]
     m, su, Sp = geo["m"], geo["su"], geo["Sp"]
     pad0, pad1, t0s = geo["pad0"], geo["pad1"], geo["t0s"]
     dtype = jnp.float32
@@ -737,14 +866,6 @@ def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
                H=H, W=W, _stage=_stage, _bskip=_bskip,
                predicate=predicate)
     dmw = kernel_dims(cfg)
-    if save_acc == "auto":
-        # save the selected corner-window volume as a bwd residual when it
-        # fits comfortably in HBM (skips the bwd's recompute sweep);
-        # callers with many streamed bands pass an explicit bool
-        acc_bytes = (BH * P * nT * dmw["nfam"] * geo["Sp"] ** 2
-                     * TH * TW * 4)
-        save_acc = acc_bytes <= (3 << 29)       # 1.5 GB
-    cfg["save_acc"] = bool(save_acc)
 
     ty0 = (row0 + jnp.arange(nT, dtype=jnp.int32) * TH) * stride0
     WINh = m * (ty0[None, None] - t0s) + oh_t     # [BH, P, nT]
@@ -795,30 +916,15 @@ def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
         [scal, rowact.astype(jnp.int32), colact.astype(jnp.int32)],
         axis=-1)
 
-    d_t = _vol_op(_freeze(cfg), bool(interpret), v0p, v1p, scal,
-                  l0h, prep["l0w"], to_tiles(th), to_tiles(tw),
-                  to_tiles(ctr_h), to_tiles(ctr_w),
-                  to_tiles(off_h.astype(dtype)),
-                  to_tiles(off_w.astype(dtype)))
-
-    # [BH, P, nT, ws*ws, TH, TW] -> [B,HD,Tq,W_t,ws,ws,nH,nW]
-    d = jnp.transpose(d_t.reshape(BH, P, nT, ws, ws, TH, TW),
-                      (0, 1, 3, 4, 2, 5, 6)).reshape(
-        B, HD, Tq, W_t, ws, ws, nH, nW)
-
-    _, _, init_val = dist_type_select(dist_type)
-    inval = jnp.asarray(init_val, jnp.float32)
-    d = jnp.where(outliers[:, :, :, :, None, None], inval, d)
-
-    # ---- offsets (identical to the other paths) ----
-    # kept SEPARABLE: dt depends on (t, wt) only, dh on (.., wt, wi, y, x),
-    # dw on (.., wt, wj, y, x) — the full [3, B,HD,T,W_t,ws,ws,nH,nW]
-    # volume (~0.7 GB at the 128^2 bench config) is only materialized on
-    # demand (aux_to_inds3); the top-K pipeline gathers the K selected
-    # offsets straight from these small factors
+    # ---- separable offset factors (identical to the other paths):
+    # dt depends on (t, wt) only, dh on (.., wt, wi, y, x), dw on
+    # (.., wt, wj, y, x) — the full [3, ...] offset volume is only
+    # materialized on demand (aux_to_inds3); top-K pipelines gather the
+    # K selected offsets straight from these small factors ----
     cdtype = jnp.int32 if is_int else vid0.dtype
     cells = jnp.arange(ws, dtype=dtype)
     s1c = jnp.asarray(stride1, dtype)
+    base_h, base_w = prep["base_h"], prep["base_w"]
     prop_h = ctr_h[:, :, :, :, None] + s1c * (cells[:, None, None]
                                               - off_h[:, :, :, :, None])
     prop_w = ctr_w[:, :, :, :, None] + s1c * (cells[:, None, None]
@@ -830,6 +936,82 @@ def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
         dh_s = dh_s.astype(cdtype)
         dw_s = dw_s.astype(cdtype)
     aux = dict(dt_tab=dt, dh=dh_s, dw=dw_s, cdtype=cdtype)
+
+    op_args = (v0p, v1p, scal, l0h, prep["l0w"],
+               to_tiles(prep["th"]), to_tiles(prep["tw"]),
+               to_tiles(ctr_h), to_tiles(ctr_w),
+               to_tiles(off_h.astype(dtype)),
+               to_tiles(off_w.astype(dtype)))
+    dims = dict(B=B, HD=HD, T=T, Tq=Tq, W_t=W_t, nH=nH, nW=nW, TH=TH,
+                TW=TW, nT=nT, BH=BH, P=P)
+    return dict(cfg=cfg, dmw=dmw, prep=prep, aux=aux, dims=dims,
+                op_args=op_args, to_tiles=to_tiles,
+                outliers=prep["outliers"])
+
+
+def _resolve_save_acc(save_acc, cfg, dmw, dims):
+    if save_acc == "auto":
+        # save the selected corner-window volume as a bwd residual when it
+        # fits comfortably in HBM (skips the bwd's recompute sweep);
+        # callers with many streamed bands pass an explicit bool
+        acc_bytes = (dims["BH"] * dims["P"] * dims["nT"] * dmw["nfam"]
+                     * cfg["Sp"] ** 2 * dims["TH"] * dims["TW"] * 4)
+        save_acc = acc_bytes <= (3 << 29)       # 1.5 GB
+    return bool(save_acc)
+
+
+def nls_pallas_volume(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
+                      dist_type="l2", dilation=1, full_ws=True,
+                      use_adj=False, itype="float", flow_budget=8,
+                      spread_budget=8, tile=None, interpret=None,
+                      row0=0, col0=0, padded_vids=None, save_acc="auto",
+                      _stage="full", _bskip="", predicate=True,
+                      return_aux=False, query_t0=None, T_global=None):
+    """Pallas-kernel NLS volume. Returns (dists [B,HD,T,W_t,ws,ws,nH,nW],
+    inds3 [3,...], outliers [B,HD,T,W_t,nH,nW]).
+
+    row0 + banded flows (nH_band rows) restrict the query grid to a row
+    band — the memory-bounded streaming path (SURVEY hard part #5) maps
+    over bands so nothing search-volume-sized for the full frame is ever
+    materialized. padded_vids (from pallas_pad_vids) lets the band loop
+    reuse one padded copy of the videos across bands.
+
+    query_t0 + T_global: temporal-chunk mode for time sharding (the
+    TPU-native analog of the reference's paired_vids streaming,
+    search/utils.py:339-382). vid0/vid1 then hold T_local + 2*halo local
+    frames, flows cover only the T_local query frames, and query_t0 (a
+    possibly-traced global index of the first local frame) drives the
+    boundary-shifted window tables — queries stay local, only the halo
+    rides the ICI ring (parallel/shard.py)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bi = _build_inputs(vid0, vid1, flows, ws=ws, wt=wt, ps=ps,
+                       stride0=stride0, stride1=stride1,
+                       dist_type=dist_type, dilation=dilation,
+                       full_ws=full_ws, use_adj=use_adj, itype=itype,
+                       flow_budget=flow_budget,
+                       spread_budget=spread_budget, tile=tile, row0=row0,
+                       col0=col0, padded_vids=padded_vids,
+                       query_t0=query_t0, T_global=T_global,
+                       _stage=_stage, _bskip=_bskip, predicate=predicate)
+    cfg, dims, outliers = bi["cfg"], bi["dims"], bi["outliers"]
+    cfg["save_acc"] = _resolve_save_acc(save_acc, cfg, bi["dmw"], dims)
+    B, HD, Tq, W_t = dims["B"], dims["HD"], dims["Tq"], dims["W_t"]
+    nH, nW, TH, TW = dims["nH"], dims["nW"], dims["TH"], dims["TW"]
+    BH, P, nT = dims["BH"], dims["P"], dims["nT"]
+
+    d_t = _vol_op(_freeze(cfg), bool(interpret), *bi["op_args"])
+
+    # [BH, P, nT, ws*ws, TH, TW] -> [B,HD,Tq,W_t,ws,ws,nH,nW]
+    d = jnp.transpose(d_t.reshape(BH, P, nT, ws, ws, TH, TW),
+                      (0, 1, 3, 4, 2, 5, 6)).reshape(
+        B, HD, Tq, W_t, ws, ws, nH, nW)
+
+    _, _, init_val = dist_type_select(dist_type)
+    inval = jnp.asarray(init_val, jnp.float32)
+    d = jnp.where(outliers[:, :, :, :, None, None], inval, d)
+
+    aux = bi["aux"]
     d = d.astype(vid0.dtype)
     if return_aux:
         return d, aux, outliers
@@ -908,3 +1090,184 @@ def _vol_bwd(cfg, interpret, res, g):
 
 
 _vol_op.defvjp(_vol_fwd, _vol_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused in-kernel top-K entry point
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _topk_op(cfg, interpret, v0e, v1p, scal, l0h, l0w, th, tw,
+             ctrh, ctrw, offh, offw, outlp, selfidp):
+    # primal-only path: never emit the save_acc residual
+    return _fwd_pallas_call(dict(cfg.d, save_acc=False), v0e, v1p, scal,
+                            l0h, l0w, th, tw, ctrh, ctrw, offh, offw,
+                            interpret, outlp, selfidp)
+
+
+def _topk_fwd(cfg, interpret, v0e, v1p, scal, l0h, l0w, th, tw,
+              ctrh, ctrw, offh, offw, outlp, selfidp):
+    out = _fwd_pallas_call(cfg.d, v0e, v1p, scal, l0h, l0w, th, tw,
+                           ctrh, ctrw, offh, offw, interpret,
+                           outlp, selfidp)
+    accsaved = None
+    if cfg.d.get("save_acc", False):
+        d_pl, i_pl, s_pl, accsaved = out
+    else:
+        d_pl, i_pl, s_pl = out
+    return (d_pl, i_pl, s_pl), (v0e, v1p, scal, l0h, l0w, th, tw, ctrh,
+                                ctrw, offh, offw, outlp, selfidp, i_pl,
+                                accsaved)
+
+
+def _topk_bwd(cfg, interpret, res, g):
+    from stnls_tpu.ops.nls_pallas_bwd import topk_bwd_pallas
+    g_d, _g_i, g_s = g
+    (v0e, v1p, scal, l0h, l0w, th, tw, ctrh, ctrw, offh, offw,
+     outlp, selfidp, i_pl, accsaved) = res
+    if cfg.d.get("anchor", False):
+        # the slot whose id == self_id holds the relocated cell-0 value
+        cells_pl = jnp.where(i_pl == selfidp[:, :, :, None], 0, i_pl)
+    else:
+        cells_pl = i_pl
+    g_v0e, g_v1p, g_th, g_tw = topk_bwd_pallas(
+        cfg.d, interpret, g_d, g_s, cells_pl, selfidp, outlp,
+        v0e, v1p, scal, l0h, l0w, th, tw, ctrh, ctrw, offh, offw,
+        accsaved=accsaved)
+    return (g_v0e, g_v1p, None, None, None, g_th, g_tw, None, None,
+            None, None, None, None)
+
+
+_topk_op.defvjp(_topk_fwd, _topk_bwd)
+
+
+def nls_pallas_topk(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
+                    k, anchor, dist_type="l2", dilation=1, full_ws=True,
+                    use_adj=False, itype="float", flow_budget=8,
+                    spread_budget=8, tile=None, interpret=None,
+                    row0=0, col0=0, padded_vids=None, save_acc="auto",
+                    predicate=True, query_t0=None, T_global=None):
+    """Fused search + in-kernel top-K: the [W_t,ws,ws] candidate volume
+    never reaches HBM — the kernel keeps a running sorted K-list in VMEM
+    across the temporal-window grid axis and emits only the winners
+    (replacing the reference's materialize-then-argsort,
+    lib/stnls/search/impl/non_local_search.py:118-134).
+
+    Semantics == nls_pallas_volume + search.non_local_search.
+    _pallas_topk_aux with self_action in {None, "anchor"/"anchor_self"}
+    (anchor=True), topk_mode="all".
+
+    Returns (dists [B,HD,Tq,nH,nW,K], inds [B,HD,Tq,nH,nW,K,3],
+    cells [B,HD,Tq,nH,nW,K] int32, outliers [B,HD,Tq,W_t,nH,nW])."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bi = _build_inputs(vid0, vid1, flows, ws=ws, wt=wt, ps=ps,
+                       stride0=stride0, stride1=stride1,
+                       dist_type=dist_type, dilation=dilation,
+                       full_ws=full_ws, use_adj=use_adj, itype=itype,
+                       flow_budget=flow_budget,
+                       spread_budget=spread_budget, tile=tile, row0=row0,
+                       col0=col0, padded_vids=padded_vids,
+                       query_t0=query_t0, T_global=T_global,
+                       predicate=predicate)
+    cfg, dims, aux, outliers = bi["cfg"], bi["dims"], bi["aux"], \
+        bi["outliers"]
+    B, HD, Tq, W_t = dims["B"], dims["HD"], dims["Tq"], dims["W_t"]
+    nH, nW, TH, TW = dims["nH"], dims["nW"], dims["TH"], dims["TW"]
+    BH, nT = dims["BH"], dims["nT"]
+    S = W_t * ws * ws
+    kk = min(k, S)
+    n_slots = kk - 1 if anchor else kk
+    assert n_slots >= 1, "use the lazy path for k==1 with anchor"
+    cfg.update(emit="topk", W_t=W_t, n_slots=n_slots, anchor=bool(anchor))
+    cfg["save_acc"] = _resolve_save_acc(save_acc, cfg, bi["dmw"], dims)
+
+    outlp = bi["to_tiles"](outliers).astype(jnp.int32)
+    dh, dw, dt_tab = aux["dh"], aux["dw"], aux["dt_tab"]
+
+    def onehot_wt(sel, planes6):
+        """Select planes6[.., st, y, x] per-element by sel [.., y, x, K]:
+        dense one-hot over the tiny W_t axis (a take_along/gather here
+        scalarizes on TPU, ~9 ns/element)."""
+        acc = None
+        for st_i in range(W_t):
+            v = jnp.where(sel == st_i, planes6[:, :, :, st_i, :, :, None],
+                          0.)
+            acc = v if acc is None else acc + v
+        return acc
+
+    if anchor:
+        # lexicographically-first argmin of |dt|+|dh|+|dw| (per-axis
+        # first-argmins compose: the additive terms are axis-independent)
+        adh = jnp.abs(dh.astype(jnp.float32))
+        adw = jnp.abs(dw.astype(jnp.float32))
+        mh = jnp.min(adh, axis=4)
+        ah = jnp.argmin(adh, axis=4).astype(jnp.int32)  # [B,HD,Tq,W_t,..]
+        mw = jnp.min(adw, axis=4)
+        aw = jnp.argmin(adw, axis=4).astype(jnp.int32)
+        tot = jnp.abs(dt_tab.astype(jnp.float32)) \
+            .reshape(1, 1, Tq, W_t, 1, 1) + mh + mw
+        wts = jnp.argmin(tot, axis=3).astype(jnp.int32)  # [B,HD,Tq,nH,nW]
+        ah_s = onehot_wt(wts[..., None], ah.astype(jnp.float32)) \
+            .astype(jnp.int32)[..., 0]
+        aw_s = onehot_wt(wts[..., None], aw.astype(jnp.float32)) \
+            .astype(jnp.int32)[..., 0]
+        self_idx = (wts * ws + ah_s) * ws + aw_s
+        selfidp = self_idx.reshape(BH, Tq, nT, TH, TW)
+    else:
+        self_idx = None
+        selfidp = jnp.zeros((BH, Tq, nT, TH, TW), jnp.int32)
+
+    d_pl, i_pl, s_pl = _topk_op(_freeze(cfg), bool(interpret),
+                                *bi["op_args"], outlp, selfidp)
+
+    def untile_k(x):
+        """[BH,Tq,nT,ns,TH,TW] -> [B,HD,Tq,nH,nW,ns]."""
+        ns = x.shape[3]
+        x = jnp.transpose(x, (0, 1, 2, 4, 5, 3))
+        return x.reshape(B, HD, Tq, nH, nW, ns)
+
+    d_rest = untile_k(d_pl)
+    ids = jax.lax.stop_gradient(untile_k(i_pl))
+    if anchor:
+        self_d = s_pl.reshape(B, HD, Tq, nH, nW)
+        cells = jnp.concatenate(
+            [self_idx[..., None],
+             jnp.where(ids == self_idx[..., None], 0, ids)], axis=-1)
+        dists = jnp.concatenate([self_d[..., None], d_rest], axis=-1)
+    else:
+        cells = ids
+        dists = d_rest
+
+    # ---- offsets of the winners: per-element gathers scalarize on TPU,
+    # so select the (ctr, off) factors by dense one-hot over the tiny W_t
+    # axis and re-evaluate the offset formula (bitwise-identical to the
+    # dh/dw factor values: same ops in the same order) ----
+    prep = bi["prep"]
+    wt_s = cells // (ws * ws)
+    wi = (cells % (ws * ws)) // ws
+    wj = cells % ws
+    s1c = jnp.asarray(bi["cfg"]["stride1"], jnp.float32)
+    ctrh_sel = onehot_wt(wt_s, prep["ctr_h"])
+    offh_sel = onehot_wt(wt_s, prep["off_h"].astype(jnp.float32))
+    ctrw_sel = onehot_wt(wt_s, prep["ctr_w"])
+    offw_sel = onehot_wt(wt_s, prep["off_w"].astype(jnp.float32))
+    base_h = prep["base_h"].reshape(1, 1, 1, nH, 1, 1)
+    base_w = prep["base_w"].reshape(1, 1, 1, 1, nW, 1)
+    i_h = (ctrh_sel + s1c * (wi.astype(jnp.float32) - offh_sel)) - base_h
+    i_w = (ctrw_sel + s1c * (wj.astype(jnp.float32) - offw_sel)) - base_w
+    dt_b = jnp.broadcast_to(
+        dt_tab.astype(jnp.float32).reshape(1, 1, Tq, W_t, 1, 1),
+        (B, HD, Tq, W_t, 1, 1))
+    i_t = onehot_wt(wt_s, dt_b)
+    if aux["cdtype"] == jnp.int32:
+        i_h = i_h.astype(jnp.int32)
+        i_w = i_w.astype(jnp.int32)
+        i_t = i_t.astype(jnp.int32)
+    inds = jnp.stack([i_t.astype(i_h.dtype), i_h, i_w], axis=-1)
+    if anchor:
+        # anchored slot-0 offsets are exact zeros (nn.anchor_self parity)
+        inds = jnp.concatenate(
+            [jnp.zeros_like(inds[..., :1, :]), inds[..., 1:, :]], axis=-2)
+    inds = inds.astype(aux["cdtype"])
+    return dists.astype(vid0.dtype), inds, cells, outliers

@@ -103,10 +103,27 @@ def _make_bwd_kernel(cfg):
     bskip = cfg.get("_bskip", "")
 
     save_acc = bool(cfg.get("save_acc", False))
+    # emit="topk": the cotangent arrives K-sparse (per-winner grads + the
+    # winners' flat cell ids) instead of as the dense [ws,ws] volume; the
+    # per-cell gm is reconstructed by id compare — the deterministic
+    # mirror of the reference's K-sparse backward
+    # (lib/stnls/search/impl/non_local_search.py:142-212)
+    emit = cfg.get("emit", "volume")
+    W_t = cfg.get("W_t", None)
+    n_slots = cfg.get("n_slots", 0)
+    anchor = bool(cfg.get("anchor", False))
 
-    def kernel(scal_ref, g_ref, v0_ref, v1_ref, gv0z_ref, gv1z_ref,
-               l0h_ref, l0w_ref, th_ref, tw_ref,
-               ctrh_ref, ctrw_ref, offh_ref, offw_ref, *rest):
+    def kernel(scal_ref, *all_rest):
+        if emit == "topk":
+            (gd_ref, gs_ref, cells_ref, selfid_ref, outl_ref,
+             v0_ref, v1_ref, gv0z_ref, gv1z_ref) = all_rest[:9]
+            rest = all_rest[9:]
+        else:
+            (g_ref, v0_ref, v1_ref, gv0z_ref, gv1z_ref) = all_rest[:5]
+            rest = all_rest[5:]
+        (l0h_ref, l0w_ref, th_ref, tw_ref,
+         ctrh_ref, ctrw_ref, offh_ref, offw_ref) = rest[:8]
+        rest = rest[8:]
         # with save_acc the forward's selected corner-window volume
         # arrives as an input — phase A's selection sweep is skipped
         if save_acc:
@@ -261,6 +278,28 @@ def _make_bwd_kernel(cfg):
         g_tw = jnp.zeros((TH, TW), jnp.float32)
         g_ps0 = jnp.zeros((TH, TW), jnp.float32)
 
+        if emit == "topk":
+            st = p % W_t
+            gplanes = [gd_ref[0, 0, 0, s] for s in range(n_slots)]
+            cplanes = [cells_ref[0, 0, 0, s] for s in range(n_slots)]
+            outl_m = outl_ref[0, 0, 0] != 0
+            if anchor:
+                gselfp = gs_ref[0, 0, 0]
+                selfpl = selfid_ref[0, 0, 0]
+
+            def read_gm(i, j):
+                sid = st * (ws * ws) + (i * ws + j)
+                acc = None
+                for s in range(n_slots):
+                    v = jnp.where(cplanes[s] == sid, gplanes[s], 0.)
+                    acc = v if acc is None else acc + v
+                if anchor:
+                    acc = acc + jnp.where(selfpl == sid, gselfp, 0.)
+                return jnp.where(outl_m, 0., acc)
+        else:
+            def read_gm(i, j):
+                return g_ref[0, 0, 0, i * ws + j]
+
         for i in range(ws):
             ph = ctrh + s1 * (i - offh)
             vh = jnp.logical_and(ph >= 0., ph <= float(H - 1))
@@ -268,7 +307,7 @@ def _make_bwd_kernel(cfg):
                 pw = ctrw + s1 * (j - offw)
                 vw = jnp.logical_and(pw >= 0., pw <= float(W - 1))
                 valid = jnp.logical_and(vh, vw)
-                gm = jnp.where(valid, g_ref[0, 0, 0, i * ws + j], 0.)
+                gm = jnp.where(valid, read_gm(i, j), 0.)
                 oh, ow = su * i, su * j
                 if dist_is_l2:
                     g_ps0 = g_ps0 + gm
@@ -442,6 +481,102 @@ def _make_bwd_kernel(cfg):
     return kernel, dm
 
 
+def _bwd_scratch(cfg, dm):
+    TH, TW, F = cfg["TH"], cfg["TW"], cfg["F"]
+    return [
+        pltpu.VMEM((dm["TPHx"], F, dm["VWc"]), jnp.float32),
+        pltpu.VMEM((dm["RH"], F, dm["RWc"]), jnp.float32),
+        pltpu.VMEM((dm["NR"], dm["AH"], F, dm["AWb"]), jnp.float32),
+        pltpu.VMEM((dm["NR"] * dm["NS"], dm["AH"], F, dm["AW"]),
+                   jnp.float32),
+        pltpu.VMEM((dm["XFH"], dm["NXST"], dm["XFW"]), jnp.float32),
+        pltpu.VMEM((dm["nfam"] * cfg["Sp"] * cfg["Sp"], TH, TW),
+                   jnp.float32),
+        pltpu.VMEM((dm["TPHx"], F, dm["VWc"]), jnp.float32),
+        pltpu.VMEM((dm["NR"] * dm["NS"], dm["AH"], F, dm["AW"]),
+                   jnp.float32),
+        pltpu.VMEM((dm["XFH"], dm["NXST"], dm["XFW"]), jnp.float32),
+        pltpu.VMEM((dm["nfam"] * cfg["Sp"] * cfg["Sp"], TH, TW),
+                   jnp.float32),
+        pltpu.VMEM((dm["nfam"] * cfg["Sp"], TH, TW), jnp.float32),
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+
+
+def topk_bwd_pallas(cfg, interpret, g_d, g_s, cells_pl, selfidp, outlp,
+                    v0e, v1p, scal, l0h, l0w, th, tw, ctrh, ctrw,
+                    offh, offw, accsaved=None):
+    """Backward for the fused in-kernel top-K forward: the cotangent is
+    K-sparse (per-winner grads g_d + winner cell ids + the anchor self
+    plane); phase B reconstructs each window cell's gm by id compare.
+    Returns (g_v0e, g_v1p, g_th, g_tw)."""
+    BH, P, nT = scal.shape[:3]
+    TH, TW, F = cfg["TH"], cfg["TW"], cfg["F"]
+    ws = cfg["ws"]
+    W_t = cfg["W_t"]
+    n_slots = cfg["n_slots"]
+    save_acc = bool(cfg.get("save_acc", False)) and accsaved is not None
+    cfg = dict(cfg, save_acc=save_acc, emit="topk")
+    kernel, dm = _make_bwd_kernel(cfg)
+    qspec = pl.BlockSpec((1, 1, 1, TH, TW),
+                         lambda bh, p, t, *_: (bh, p, t, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec(
+        (1, 1, 1, n_slots, TH, TW),
+        lambda bh, p, t, *_: (bh, p // W_t, t, 0, 0, 0),
+        memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(
+        (1, 1, 1, TH, TW),
+        lambda bh, p, t, *_: (bh, p // W_t, t, 0, 0),
+        memory_space=pltpu.VMEM)
+    nacc = dm["nfam"] * cfg["Sp"] * cfg["Sp"]
+    accspec = pl.BlockSpec((1, 1, 1, nacc, TH, TW),
+                           lambda bh, p, t, *_: (bh, p, t, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(BH, P, nT),
+        in_specs=[kspec, sspec, kspec, sspec, qspec,        # gd gs cells
+                  any_spec, any_spec, any_spec, any_spec,   # self outl
+                  qspec, qspec, qspec, qspec, qspec, qspec, qspec, qspec]
+        + ([accspec] if save_acc else []),
+        out_specs=(any_spec, any_spec,
+                   pl.BlockSpec((1, 1, 1, TH, TW),
+                                lambda bh, p, t, *_: (bh, p, t, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, 1, TH, TW),
+                                lambda bh, p, t, *_: (bh, p, t, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=_bwd_scratch(cfg, dm))
+    out_shape = (
+        jax.ShapeDtypeStruct(v0e.shape, jnp.float32),
+        jax.ShapeDtypeStruct(v1p.shape, jnp.float32),
+        jax.ShapeDtypeStruct((BH, P, nT, TH, TW), jnp.float32),
+        jax.ShapeDtypeStruct((BH, P, nT, TH, TW), jnp.float32),
+    )
+    gv0_zero = jnp.zeros(v0e.shape, jnp.float32)
+    gv1_zero = jnp.zeros(v1p.shape, jnp.float32)
+    # inputs after the prefetch arg: 1=g_d 2=g_s 3=cells 4=selfid 5=outl
+    # 6=v0e 7=v1p 8=gv0_zero 9=gv1_zero -> aliased onto outputs 0, 1
+    operands = [scal, g_d.astype(jnp.float32), g_s.astype(jnp.float32),
+                cells_pl, selfidp, outlp, v0e, v1p, gv0_zero, gv1_zero,
+                l0h, l0w, th, tw, ctrh, ctrw, offh, offw]
+    if save_acc:
+        operands.append(accsaved)
+    g_v0e, g_v1p, g_th_t, g_tw_t = pl.pallas_call(
+        kernel, out_shape=out_shape, grid_spec=grid_spec,
+        input_output_aliases={8: 0, 9: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+    return g_v0e, g_v1p, g_th_t, g_tw_t
+
+
 def vol_bwd_pallas(cfg, interpret, g, v0e, v1p, scal, l0h, l0w, th, tw,
                    ctrh, ctrw, offh, offw, accsaved=None):
     """Returns (g_v0e, g_v1p, g_th, g_tw)."""
@@ -475,27 +610,7 @@ def vol_bwd_pallas(cfg, interpret, g, v0e, v1p, scal, l0h, l0w, th, tw,
                    pl.BlockSpec((1, 1, 1, TH, TW),
                                 lambda bh, p, t, *_: (bh, p, t, 0, 0),
                                 memory_space=pltpu.VMEM)),
-        scratch_shapes=[
-            pltpu.VMEM((dm["TPHx"], F, dm["VWc"]), jnp.float32),
-            pltpu.VMEM((dm["RH"], F, dm["RWc"]), jnp.float32),
-            pltpu.VMEM((dm["NR"], dm["AH"], F, dm["AWb"]), jnp.float32),
-            pltpu.VMEM((dm["NR"] * dm["NS"], dm["AH"], F, dm["AW"]),
-                       jnp.float32),
-            pltpu.VMEM((dm["XFH"], dm["NXST"], dm["XFW"]), jnp.float32),
-            pltpu.VMEM((dm["nfam"] * cfg["Sp"] * cfg["Sp"], TH, TW),
-                       jnp.float32),
-            pltpu.VMEM((dm["TPHx"], F, dm["VWc"]), jnp.float32),
-            pltpu.VMEM((dm["NR"] * dm["NS"], dm["AH"], F, dm["AW"]),
-                       jnp.float32),
-            pltpu.VMEM((dm["XFH"], dm["NXST"], dm["XFW"]), jnp.float32),
-            pltpu.VMEM((dm["nfam"] * cfg["Sp"] * cfg["Sp"], TH, TW),
-                       jnp.float32),
-            pltpu.VMEM((dm["nfam"] * cfg["Sp"], TH, TW), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-        ])
+        scratch_shapes=_bwd_scratch(cfg, dm))
     out_shape = (
         jax.ShapeDtypeStruct(v0e.shape, jnp.float32),
         jax.ShapeDtypeStruct(v1p.shape, jnp.float32),

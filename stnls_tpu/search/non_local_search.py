@@ -100,6 +100,16 @@ def _lazy_topk_ok(cfg):
             and cfg["topk_mode"] == "all" and cfg["k"] > 0)
 
 
+def _fused_topk_ok(cfg):
+    """The fused in-kernel top-K (ops.nls_pallas.nls_pallas_topk) covers
+    the lazy-top-K semantics; anchor mode needs k > 1 (k == 1 anchor is
+    just the self entry — the lazy path handles it)."""
+    if not _lazy_topk_ok(cfg):
+        return False
+    anchor = cfg["self_action"] is not None
+    return cfg["k"] > 1 or not anchor
+
+
 def _pallas_topk_aux(dists, aux, *, self_action, k, dist_type,
                      return_cells=False):
     """self_action + top-K over the pallas search volume WITHOUT
@@ -395,8 +405,10 @@ def _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb, cells_only=False,
         def volume(band_flows, r0, c0, return_aux):
             return nls_cvr_volume(vid0, vid1, band_flows, row0=r0, col0=c0,
                                   precomp=pc, return_aux=return_aux, **kw)
+        fused = None
     else:
         from stnls_tpu.ops.nls_pallas import (nls_pallas_volume,
+                                              nls_pallas_topk,
                                               pallas_pad_vids)
         kw["tile"] = cfg.get("cv_tile", None)
         pv = pallas_pad_vids(vid0, vid1, ws=cfg["ws"], ps=cfg["ps"],
@@ -410,6 +422,16 @@ def _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb, cells_only=False,
             return nls_pallas_volume(vid0, vid1, band_flows, row0=r0,
                                      col0=c0, padded_vids=pv,
                                      return_aux=return_aux, **kw)
+
+        if _fused_topk_ok(cfg):
+            def fused(band_flows, r0, c0):
+                # in-kernel top-K per band: no per-band volume in HBM,
+                # no residual volume under grad (save_acc=False)
+                return nls_pallas_topk(
+                    vid0, vid1, band_flows, row0=r0, col0=c0,
+                    padded_vids=pv, k=cfg["k"],
+                    anchor=cfg["self_action"] is not None,
+                    save_acc=False, **kw)
     # [B,HD,T,St,2,nH,nW] -> [n_rb*n_cb, B,HD,T,St,2,rows,cols]
     lead = flows.shape[:5]
     fb = flows.reshape(lead + (n_rb, rows, n_cb, cols))
@@ -427,6 +449,18 @@ def _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb, cells_only=False,
     def body(xs):
         from stnls_tpu.utils.debug import emit_count_warning
         band_flows, r0, c0 = xs
+        if fused is not None:
+            d, i, cells, outl = fused(band_flows, r0, c0)
+            emit_count_warning(
+                jnp.sum(outl),
+                f"NonLocalSearch {engine} band: queries exceeded "
+                "flow_budget/spread_budget and carry init-valued dists")
+            if cells_only:
+                return cells
+            if band_dtype is not None:
+                d = d.astype(band_dtype)
+                i = i.astype(band_dtype)
+            return d, i
         d, i3, outl = volume(band_flows, r0, c0, lazy)
         emit_count_warning(
             jnp.sum(outl),
@@ -586,13 +620,34 @@ def _select_cells(vid0, vid1, flows, cfg):
     impl/non_local_search.py:118-134)."""
     from stnls_tpu.utils.debug import emit_count_warning
     if _use_pallas_path(cfg, vid0.shape):
-        from stnls_tpu.ops.nls_pallas import nls_pallas_volume
+        from stnls_tpu.ops.nls_pallas import (nls_pallas_volume,
+                                              nls_pallas_topk)
         nH = flows.shape[-2] if flows.ndim >= 7 else vid0.shape[-2]
         nW = flows.shape[-1] if flows.ndim >= 7 else vid0.shape[-1]
         n_rb, n_cb = _pick_n_bands(cfg, vid0.shape, nH, nW)
         if n_rb > 1 or n_cb > 1:
             return _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb,
                                   cells_only=True)
+        if _fused_topk_ok(cfg):
+            _, _, cells, outliers = nls_pallas_topk(
+                vid0, vid1, flows, ws=cfg["ws"], wt=cfg["wt"],
+                ps=cfg["ps"], stride0=cfg["stride0"],
+                stride1=cfg["stride1"], k=cfg["k"],
+                anchor=cfg["self_action"] is not None,
+                dist_type=cfg["dist_type"], dilation=cfg["dilation"],
+                full_ws=cfg["full_ws"], use_adj=cfg["use_adj"],
+                itype=cfg["itype"],
+                flow_budget=cfg.get("flow_budget", 8),
+                spread_budget=cfg.get("spread_budget", 8),
+                tile=cfg.get("cv_tile", None), save_acc=False)
+            emit_count_warning(
+                jnp.sum(outliers),
+                "NonLocalSearch pallas path: queries exceeded flow_budget="
+                f"{cfg.get('flow_budget', 8)}/spread_budget="
+                f"{cfg.get('spread_budget', 8)}; their cells were "
+                "selected from init-valued dists (values are still "
+                "recomputed exactly)")
+            return cells
         dists, aux, outliers = nls_pallas_volume(
             vid0, vid1, flows, ws=cfg["ws"], wt=cfg["wt"], ps=cfg["ps"],
             stride0=cfg["stride0"], stride1=cfg["stride1"],
@@ -727,7 +782,8 @@ def nls_pipeline(vid0, vid1, flows, cfg):
         cells = _select_cells(sg(vid0), sg(vid1), sg(flows), cfg)
         return _sparse_assemble(vid0, vid1, flows, cells, cfg)
     if _use_pallas_path(cfg, vid0.shape):
-        from stnls_tpu.ops.nls_pallas import nls_pallas_volume
+        from stnls_tpu.ops.nls_pallas import (nls_pallas_volume,
+                                              nls_pallas_topk)
         from stnls_tpu.utils.debug import emit_count_warning
         nH = flows.shape[-2] if flows.ndim >= 7 else vid0.shape[-2]
         nW = flows.shape[-1] if flows.ndim >= 7 else vid0.shape[-1]
@@ -735,6 +791,25 @@ def nls_pipeline(vid0, vid1, flows, cfg):
         if (n_rb > 1 or n_cb > 1) and cfg["topk_mode"] != "none" \
                 and cfg["k"] > 0:
             return _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb)
+        if _fused_topk_ok(cfg):
+            dists, inds, _cells, outliers = nls_pallas_topk(
+                vid0, vid1, flows, ws=cfg["ws"], wt=cfg["wt"],
+                ps=cfg["ps"], stride0=cfg["stride0"],
+                stride1=cfg["stride1"], k=cfg["k"],
+                anchor=cfg["self_action"] is not None,
+                dist_type=cfg["dist_type"], dilation=cfg["dilation"],
+                full_ws=cfg["full_ws"], use_adj=cfg["use_adj"],
+                itype=cfg["itype"],
+                flow_budget=cfg.get("flow_budget", 8),
+                spread_budget=cfg.get("spread_budget", 8),
+                tile=cfg.get("cv_tile", None))
+            emit_count_warning(
+                jnp.sum(outliers),
+                "NonLocalSearch pallas path: queries exceeded flow_budget="
+                f"{cfg.get('flow_budget', 8)}/spread_budget="
+                f"{cfg.get('spread_budget', 8)} and carry init-valued "
+                "dists; raise the budgets or use flow_budget='auto'")
+            return dists, inds
         lazy = _lazy_topk_ok(cfg)
         dists, inds3, outliers = nls_pallas_volume(
             vid0, vid1, flows, ws=cfg["ws"], wt=cfg["wt"], ps=cfg["ps"],

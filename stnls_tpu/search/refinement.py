@@ -108,7 +108,16 @@ def _refine_pipeline(vid0, vid1, flows_k, cfg):
 class RefineSearch:
     """search = RefineSearch(ws, wt, wr, k, kr, ps, ...);
     dists, inds = search(vid0, vid1, flows) with flows
-    [B,HD,T,nH,nW,K,3] (or [B,HD,Q,K,3]) relative offsets."""
+    [B,HD,T,nH,nW,K,3] (or [B,HD,Q,K,3]) relative offsets.
+
+    `restricted_radius` is accepted for API parity and has no effect —
+    faithful to the reference, where the CUDA kernels never read the
+    flag: refinement_int_kernel.cu:123-127 carries the radius-bound
+    logic only as commented-out "[unused]" code and
+    refinement_bilin2d_kernel.cu:131-133 likewise (the Python layer
+    lib/stnls/search/refinement.py:145,170 merely threads it through).
+    Verified behaviorally: tests/search/test_refinement.py asserts
+    restricted_radius True/False produce identical results."""
 
     def __init__(self, ws, wt, wr, k, kr=-1, ps=1, nheads=1, stride0=4,
                  stride1=1, dilation=1, pt=1, dist_type="l2",

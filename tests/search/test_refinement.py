@@ -59,3 +59,23 @@ def test_refine_anchor_keeps_source():
     d1, i1 = refine(vid0, vid1, i0.astype(jnp.float32))
     np.testing.assert_allclose(np.asarray(i1)[..., 0, :],
                                np.asarray(i0)[..., 0, :], atol=1e-4)
+
+
+def test_restricted_radius_is_inert_reference_parity():
+    """`restricted_radius` must be accepted and have NO effect — the
+    reference's kernels never read it (refinement_int_kernel.cu:123-127
+    carries the bound logic only as commented-out "[unused]" code;
+    refinement_bilin2d_kernel.cu:131-133 likewise)."""
+    vid0, vid1, flows = make_data()
+    nls = NonLocalSearch(3, 1, 1, 4, dist_type="l2", itype="float")
+    d0, i0 = nls(vid0, vid1, flows)
+    outs = []
+    for rr in (False, True):
+        refine = RefineSearch(3, 1, wr=3, k=4, ps=3, stride0=1,
+                              dist_type="l2", itype="float",
+                              restricted_radius=rr)
+        outs.append(refine(vid0, vid1, i0.astype(jnp.float32)))
+    np.testing.assert_array_equal(np.asarray(outs[0][0]),
+                                  np.asarray(outs[1][0]))
+    np.testing.assert_array_equal(np.asarray(outs[0][1]),
+                                  np.asarray(outs[1][1]))
