@@ -100,6 +100,37 @@ def pallas_geometry(*, ws, ps, stride1, dilation, flow_budget,
                 Eh=Eh, pad0=pad0, pad1=pad1)
 
 
+def fwd_vmem_bytes(*, ws, ps, stride0, stride1, dilation, flow_budget,
+                   spread_budget, use_adj, itype, dist_type, F, H, W,
+                   TH, TW, k=0):
+    """Estimated VMEM scratch footprint of the fwd kernel for a (TH, TW)
+    query tile — used by the banding heuristic to bound band width."""
+    if itype == "int":
+        stride1 = float(max(1, int(stride1)))
+    geo = pallas_geometry(ws=ws, ps=ps, stride1=float(stride1),
+                          dilation=dilation, flow_budget=flow_budget,
+                          spread_budget=spread_budget, use_adj=use_adj)
+    Fp = -(-F // 8) * 8
+    cfg = dict(geo, ws=ws, ps=ps, stride0=stride0, stride1=float(stride1),
+               dist_type=dist_type, is_int=(itype == "int"), TH=TH, TW=TW,
+               F=Fp, H=H, W=W)
+    dm = kernel_dims(cfg)
+    Sp = geo["Sp"]
+
+    def lane(n):
+        return -(-n // 128) * 128
+
+    b = 4 * (dm["TPHx"] * Fp * lane(dm["VWc"])
+             + dm["RH"] * Fp * lane(dm["RWc"])
+             + dm["NR"] * dm["AH"] * Fp * lane(dm["AWb"])
+             + dm["NR"] * dm["NS"] * dm["AH"] * Fp * lane(dm["AW"])
+             + dm["XFH"] * dm["NXST"] * lane(dm["XFW"])
+             + dm["nfam"] * Sp * Sp * TH * lane(TW)
+             + dm["nfam"] * Sp * TH * lane(TW)
+             + (2 * k + 2) * TH * lane(TW))
+    return b
+
+
 def pallas_supported(*, itype, pt, stride1, reflect_bounds, ws, ps,
                      dilation, off_Hq, off_Wq, H, W, stride0, strideQ):
     if pt != 1 or not reflect_bounds or off_Hq != 0 or off_Wq != 0:
@@ -1183,7 +1214,7 @@ def nls_pallas_topk(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
     cfg["save_acc"] = _resolve_save_acc(save_acc, cfg, bi["dmw"], dims)
 
     outlp = bi["to_tiles"](outliers).astype(jnp.int32)
-    dh, dw, dt_tab = aux["dh"], aux["dw"], aux["dt_tab"]
+    dt_tab = aux["dt_tab"]
 
     def onehot_wt(sel, planes6):
         """Select planes6[.., st, y, x] per-element by sel [.., y, x, K]:
@@ -1198,13 +1229,32 @@ def nls_pallas_topk(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
 
     if anchor:
         # lexicographically-first argmin of |dt|+|dh|+|dw| (per-axis
-        # first-argmins compose: the additive terms are axis-independent)
-        adh = jnp.abs(dh.astype(jnp.float32))
-        adw = jnp.abs(dw.astype(jnp.float32))
-        mh = jnp.min(adh, axis=4)
-        ah = jnp.argmin(adh, axis=4).astype(jnp.int32)  # [B,HD,Tq,W_t,..]
-        mw = jnp.min(adw, axis=4)
-        aw = jnp.argmin(adw, axis=4).astype(jnp.int32)
+        # first-argmins compose: the additive terms are axis-independent).
+        # The per-cell offsets are re-evaluated on the fly per wi (same
+        # fp32 ops/order as the aux dh/dw factors — bitwise identical,
+        # incl. tie order via strict <) so nothing of size
+        # [..,W_t,ws,nH,nW] is ever materialized (725 MB/band at 1080p).
+        prep_ = bi["prep"]
+        s1c_ = jnp.asarray(bi["cfg"]["stride1"], jnp.float32)
+        bh6 = prep_["base_h"]                  # [1,1,1,1,nH,1]
+        bw6 = prep_["base_w"]
+        offh_f = prep_["off_h"].astype(jnp.float32)
+        offw_f = prep_["off_w"].astype(jnp.float32)
+
+        def axis_argmin(ctr, off, base):
+            best, arg = None, None
+            for wi_ in range(ws):
+                d_ = jnp.abs((ctr + s1c_ * (float(wi_) - off)) - base)
+                if best is None:
+                    best, arg = d_, jnp.zeros_like(d_, jnp.int32)
+                else:
+                    m_ = d_ < best
+                    best = jnp.where(m_, d_, best)
+                    arg = jnp.where(m_, wi_, arg)
+            return best, arg
+
+        mh, ah = axis_argmin(prep_["ctr_h"], offh_f, bh6)
+        mw, aw = axis_argmin(prep_["ctr_w"], offw_f, bw6)
         tot = jnp.abs(dt_tab.astype(jnp.float32)) \
             .reshape(1, 1, Tq, W_t, 1, 1) + mh + mw
         wts = jnp.argmin(tot, axis=3).astype(jnp.int32)  # [B,HD,Tq,nH,nW]
