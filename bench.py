@@ -183,11 +183,35 @@ def run(mode):
     return [T / dt for dt in win], compile_s
 
 
+def useful_flops_per_frame(mode):
+    """Analytic useful-FLOP model of one frame of the headline config
+    (reference-equivalent work, not what the TPU kernels actually
+    execute): bilinear search = Q*W_t*ws^2*ps^2*F_head*4corners MACs per
+    head; gather = Q*K*ps^2*F_head*4 MACs per head; QKV/proj einsums.
+    fwd+bwd counted as 3x fwd (the K-sparse backward re-walks the
+    selected cells for vid0, vid1 and flows)."""
+    B, T, F, H, W = 1, 5, 16, 128, 128
+    ws, wt, ps, K, HD = 5, 2, 3, 10, 2
+    Q = T * H * W
+    Fh = F // HD
+    W_t = 2 * wt + 1
+    search = Q * W_t * ws * ws * ps * ps * Fh * 4 * 2 * HD
+    gather = Q * K * ps * ps * Fh * 4 * 2 * HD
+    proj = 3 * Q * F * F * 2 + Q * K * F * F * 2
+    fwd = search + gather + proj
+    total = fwd * (3 if mode == "fwd+bwd" else 1)
+    return total / T
+
+
+V5E_PEAK_FLOPS = 197e12   # bf16 MXU peak per chip (public v5e spec)
+
+
 def emit(mode, fps_windows, compile_s):
     # median of the timing windows is the headline (VERDICT r2 weak #9);
     # the best window and all windows stay in the artifact for the
     # axon-tunnel-variance story (see module docstring).
     fps = float(np.median(fps_windows))
+    gflops = fps * useful_flops_per_frame(mode) / 1e9
     print(json.dumps({
         "metric": f"shifted-NLS attention {mode} frames/sec "
                   "(128^2,T=5,ws=5,wt=2,ps=3,K=10,HD=2,stride1=0.5)",
@@ -197,6 +221,11 @@ def emit(mode, fps_windows, compile_s):
         "best": round(max(fps_windows), 2),
         "compile_s": round(compile_s, 1),
         "windows": [round(f, 2) for f in fps_windows],
+        # useful (reference-equivalent) throughput — the op is a
+        # gather-shaped search, so MFU vs the MXU peak is inherently low;
+        # it is reported for round-over-round legibility (VERDICT r3 #8)
+        "gflops": round(gflops, 1),
+        "mfu_pct": round(100.0 * gflops * 1e9 / V5E_PEAK_FLOPS, 4),
     }))
 
 

@@ -41,7 +41,7 @@ def _pallas_ok(impl, ps, stride0, pt, dilation, reflect_bounds, budget,
 def non_local_gather(vid, weights, flows, ps=7, stride0=4, pt=1,
                      reflect_bounds=True, dilation=1, use_adj=False,
                      itype="float", impl="auto", budget="auto",
-                     spread="auto", wt_hint=None):
+                     spread="auto", wt_hint=None, tile=None):
     """vid [B,(HD),T,F,H,W]; weights [B,HD,T,nH,nW,K] or [B,HD,Q,K];
     flows [...,K,3] -> stack [B,HD,K,T,F,H,W]."""
     flows = ensure_flow_heads(flows)
@@ -72,7 +72,7 @@ def non_local_gather(vid, weights, flows, ps=7, stride0=4, pt=1,
             vid, weights6, flows7, ps=ps, stride0=stride0, pt=pt,
             dilation=dilation, reflect_bounds_=reflect_bounds,
             use_adj=use_adj, itype=itype, budget=budget, spread=spread,
-            wt_hint=wt_hint)
+            wt_hint=wt_hint, tile=tile)
         emit_count_warning(
             jnp.sum(outl),
             f"NonLocalGather pallas path: edges exceeded budget={budget}/"
@@ -119,7 +119,8 @@ class NonLocalGather:
 
     def __init__(self, ps=7, stride0=4, pt=1, dilation=1,
                  reflect_bounds=True, use_adj=False, itype="float",
-                 impl="auto", budget="auto", spread="auto", wt_hint=None):
+                 impl="auto", budget="auto", spread="auto", wt_hint=None,
+                 tile=None):
         self.ps = ps
         self.stride0 = stride0
         self.pt = pt
@@ -131,6 +132,7 @@ class NonLocalGather:
         self.budget = budget
         self.spread = spread
         self.wt_hint = wt_hint
+        self.tile = tile
 
     def __call__(self, vid, weights, flows):
         budget, spread = _sticky_budgets(self, vid, flows, self.ps,
@@ -139,7 +141,7 @@ class NonLocalGather:
         return non_local_gather(vid, weights, flows, self.ps, self.stride0,
                                 self.pt, self.reflect_bounds, self.dilation,
                                 self.use_adj, self.itype, self.impl,
-                                budget, spread, self.wt_hint)
+                                budget, spread, self.wt_hint, self.tile)
 
     forward = __call__
 

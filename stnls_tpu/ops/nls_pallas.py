@@ -307,16 +307,23 @@ def _make_fwd_kernel(cfg):
         else:
             p = pl.program_id(1)
             t = pl.program_id(2)
-        ti = scal_ref[bh, p, t, 2]
-        tj = scal_ref[bh, p, t, 3]
-        tyv = scal_ref[bh, p, t, 4]   # global v0 row origin (band-aware)
-        r0 = scal_ref[bh, p, t, 0]
-        wmodh = scal_ref[bh, p, t, 1]
-        cw0r = scal_ref[bh, p, t, 5]  # col origin, fine part (lane roll)
-        wmodw = scal_ref[bh, p, t, 6]
-        dc1 = scal_ref[bh, p, t, 7]   # v1 col block (x128, DMA-aligned)
-        dc0 = scal_ref[bh, p, t, 8]   # v0 col block
-        cv0r = scal_ref[bh, p, t, 9]  # v0 fine roll
+        # scal is flattened 1-D in SMEM (tile padding of a 4-D prefetch
+        # operand overflows the 1 MB SMEM at 1080p band sizes)
+        sbase = ((bh * cfg["P"] + p) * cfg["nTg"] + t) * cfg["NSCAL"]
+
+        def sread(j):
+            return scal_ref[sbase + j]
+
+        ti = sread(2)
+        tj = sread(3)
+        tyv = sread(4)   # global v0 row origin (band-aware)
+        r0 = sread(0)
+        wmodh = sread(1)
+        cw0r = sread(5)  # col origin, fine part (lane roll)
+        wmodw = sread(6)
+        dc1 = sread(7)   # v1 col block (x128, DMA-aligned)
+        dc0 = sread(8)   # v0 col block
+        cv0r = sread(9)  # v0 fine roll
 
         # -- DMA the two row x col-block windows (dynamic row offsets;
         # col offsets provably 128-aligned, fine part via lane roll) --
@@ -427,8 +434,7 @@ def _make_fwd_kernel(cfg):
                                         selw_ref[fam * Sp + uw] += \
                                             mw * vals[fam]
                             if predicate:
-                                pl.when(scal_ref[bh, p, t,
-                                                 NSC + Dloc + j_w] != 0)(
+                                pl.when(sread(NSC + Dloc + j_w) != 0)(
                                     col_body)
                             else:
                                 col_body()
@@ -441,7 +447,7 @@ def _make_fwd_kernel(cfg):
                                 k = (fam * Sp + uh) * Sp + uw
                                 acc_ref[k] += mh * selw_ref[fam * Sp + uw]
                 if predicate:
-                    pl.when(scal_ref[bh, p, t, NSC + j_h] != 0)(row_body)
+                    pl.when(sread(NSC + j_h) != 0)(row_body)
                 else:
                     row_body()
             return 0
@@ -564,7 +570,7 @@ def _make_fwd_kernel(cfg):
 
 def _fwd_pallas_call(cfg, v0e, v1p, scal, l0h, l0w, th, tw, ctrh, ctrw,
                      offh, offw, interpret, outlp=None, selfidp=None):
-    BH, P, nT = scal.shape[:3]
+    BH, P, nT = cfg["BH"], cfg["P"], cfg["nTg"]
     TH, TW, F = cfg["TH"], cfg["TW"], cfg["F"]
     ws = cfg["ws"]
     emit = cfg.get("emit", "volume")
@@ -684,16 +690,19 @@ def _fwd_pallas_call(cfg, v0e, v1p, scal, l0h, l0w, th, tw, ctrh, ctrw,
 def pallas_outliers(vid_shape, flows, *, ws, wt, ps, stride0, stride1,
                     dist_type="l2", dilation=1, full_ws=True,
                     use_adj=False, itype="float", flow_budget=8,
-                    spread_budget=8, tile=None):
+                    spread_budget=8, tile=None, row0=0, col0=0):
     """Outlier mask [B,HD,T,W_t,nH,nW] the kernel WOULD flag for these
     flows — pure jnp prep, no Pallas call/compile. Used by exactness
-    guards (bench.py) to validate a flow budget cheaply."""
+    guards (bench.py) to validate a flow budget cheaply. row0/col0 +
+    band-sliced flows reproduce a streaming band's exact tiling (the
+    spill condition depends on the band's own tile grid — ADVICE r3 #1)."""
     B, HD, T, F, H, W = vid_shape
     return _pallas_prep(vid_shape, flows, ws=ws, wt=wt, ps=ps,
                         stride0=stride0, stride1=stride1,
                         dilation=dilation, full_ws=full_ws, use_adj=use_adj,
                         itype=itype, flow_budget=flow_budget,
-                        spread_budget=spread_budget, tile=tile)["outliers"]
+                        spread_budget=spread_budget, tile=tile,
+                        row0=row0, col0=col0)["outliers"]
 
 
 def _pallas_prep(vid_shape, flows, *, ws, wt, ps, stride0, stride1,
@@ -731,7 +740,13 @@ def _pallas_prep(vid_shape, flows, *, ws, wt, ps, stride0, stride1,
     nW = flows.shape[-1]          # band cols (== nWq when unbanded)
     assert nH <= nHq and nW <= nWq
     if tile is None:
-        TH = _largest_divisor_leq(nH, 8)
+        # 16-row tiles halve the per-step count and amortize the window
+        # DMAs (measured ~12% on the fwd kernel); row counts not
+        # divisible by 16 fall back to <=8 (odd TH pads sublanes)
+        if nH >= 32 and nH % 16 == 0:
+            TH = 16
+        else:
+            TH = _largest_divisor_leq(nH, 8)
     else:
         TH = tile[0] if isinstance(tile, (tuple, list)) else tile
     assert nH % TH == 0
@@ -946,6 +961,11 @@ def _build_inputs(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
     scal = jnp.concatenate(
         [scal, rowact.astype(jnp.int32), colact.astype(jnp.int32)],
         axis=-1)
+    # flatten to 1-D for SMEM: a [BH,P,nT,NSCAL] prefetch operand gets
+    # (sublane, lane) tile padding to (16,128) in SMEM, overflowing the
+    # 1 MB budget at 1080p band sizes; the flat form stays at true size
+    cfg.update(BH=BH, P=P, nTg=nT, NSCAL=int(scal.shape[-1]))
+    scal = scal.reshape(-1)
 
     # ---- separable offset factors (identical to the other paths):
     # dt depends on (t, wt) only, dh on (.., wt, wi, y, x), dw on

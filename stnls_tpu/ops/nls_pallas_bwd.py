@@ -140,16 +140,22 @@ def _make_bwd_kernel(cfg):
         bh = pl.program_id(0)
         p = pl.program_id(1)
         t = pl.program_id(2)
-        ti = scal_ref[bh, p, t, 2]
-        tj = scal_ref[bh, p, t, 3]
-        tyv = scal_ref[bh, p, t, 4]   # global v0 row origin (band-aware)
-        r0 = scal_ref[bh, p, t, 0]
-        wmodh = scal_ref[bh, p, t, 1]
-        cw0r = scal_ref[bh, p, t, 5]  # col origin, fine part (lane roll)
-        wmodw = scal_ref[bh, p, t, 6]
-        dc1 = scal_ref[bh, p, t, 7]   # v1 col block (x128, DMA-aligned)
-        dc0 = scal_ref[bh, p, t, 8]   # v0 col block
-        cv0r = scal_ref[bh, p, t, 9]  # v0 fine roll
+        # scal is flattened 1-D in SMEM (see nls_pallas._build_inputs)
+        sbase = ((bh * cfg["P"] + p) * cfg["nTg"] + t) * cfg["NSCAL"]
+
+        def sread(j):
+            return scal_ref[sbase + j]
+
+        ti = sread(2)
+        tj = sread(3)
+        tyv = sread(4)   # global v0 row origin (band-aware)
+        r0 = sread(0)
+        wmodh = sread(1)
+        cw0r = sread(5)  # col origin, fine part (lane roll)
+        wmodw = sread(6)
+        dc1 = sread(7)   # v1 col block (x128, DMA-aligned)
+        dc0 = sread(8)   # v0 col block
+        cv0r = sread(9)  # v0 fine roll
 
         # ---------------- A. recompute forward state ----------------
         cp0 = pltpu.make_async_copy(
@@ -236,8 +242,7 @@ def _make_bwd_kernel(cfg):
                                         selw_ref[fam * Sp + uw] += \
                                             mw * vals[fam]
                             if predicate:
-                                pl.when(scal_ref[bh, p, t,
-                                                 NSC + Dloc + j_w] != 0)(
+                                pl.when(sread(NSC + Dloc + j_w) != 0)(
                                     col_body)
                             else:
                                 col_body()
@@ -248,7 +253,7 @@ def _make_bwd_kernel(cfg):
                                 k = (fam * Sp + uh) * Sp + uw
                                 acc_ref[k] += mh * selw_ref[fam * Sp + uw]
                 if predicate:
-                    pl.when(scal_ref[bh, p, t, NSC + j_h] != 0)(row_body)
+                    pl.when(sread(NSC + j_h) != 0)(row_body)
                 else:
                     row_body()
             return 0
@@ -397,13 +402,12 @@ def _make_bwd_kernel(cfg):
                                              zzw:zzw + TPW] = \
                                         gxp + dilate_queries(gxs[ei])
                             if predicate:
-                                pl.when(scal_ref[bh, p, t,
-                                                 NSC + Dloc + j_w] != 0)(
+                                pl.when(sread(NSC + Dloc + j_w) != 0)(
                                     col_body)
                             else:
                                 col_body()
                 if predicate:
-                    pl.when(scal_ref[bh, p, t, NSC + j_h] != 0)(row_body)
+                    pl.when(sread(NSC + j_h) != 0)(row_body)
                 else:
                     row_body()
             return 0
@@ -513,7 +517,7 @@ def topk_bwd_pallas(cfg, interpret, g_d, g_s, cells_pl, selfidp, outlp,
     K-sparse (per-winner grads g_d + winner cell ids + the anchor self
     plane); phase B reconstructs each window cell's gm by id compare.
     Returns (g_v0e, g_v1p, g_th, g_tw)."""
-    BH, P, nT = scal.shape[:3]
+    BH, P, nT = cfg["BH"], cfg["P"], cfg["nTg"]
     TH, TW, F = cfg["TH"], cfg["TW"], cfg["F"]
     ws = cfg["ws"]
     W_t = cfg["W_t"]
@@ -580,7 +584,7 @@ def topk_bwd_pallas(cfg, interpret, g_d, g_s, cells_pl, selfidp, outlp,
 def vol_bwd_pallas(cfg, interpret, g, v0e, v1p, scal, l0h, l0w, th, tw,
                    ctrh, ctrw, offh, offw, accsaved=None):
     """Returns (g_v0e, g_v1p, g_th, g_tw)."""
-    BH, P, nT = scal.shape[:3]
+    BH, P, nT = cfg["BH"], cfg["P"], cfg["nTg"]
     TH, TW, F = cfg["TH"], cfg["TW"], cfg["F"]
     ws = cfg["ws"]
     save_acc = bool(cfg.get("save_acc", False)) and accsaved is not None

@@ -368,7 +368,7 @@ def _pick_n_bands(cfg, vid_shape, nH, nW, fused=False):
                     spread_budget=cfg.get("spread_budget", 8),
                     use_adj=cfg["use_adj"], itype=cfg["itype"],
                     dist_type=cfg["dist_type"], F=F, H=H, W=W,
-                    TH=8, TW=nW // n_cb, k=cfg["k"])
+                    TH=16, TW=nW // n_cb, k=cfg["k"])
             except Exception:
                 vb = 1 << 40
             if vb <= 72 * 1024 * 1024:
@@ -591,6 +591,22 @@ def resolve_spread_budget(spread, flows, vid_shape, cfg, assume_fused=None):
     H, W = vid_shape[-2:]
     stride1 = float(cfg["stride1"]) if cfg["itype"] != "int" \
         else float(max(1, int(cfg["stride1"])))
+    nH = flows.shape[-2]
+    nW = flows.shape[-1]
+
+    def band_grid(sb):
+        """The band tiling the pipeline will actually run with this
+        bucket — the spill condition must be validated against each
+        band's own tile grid, not the full-frame tiling (a band's tiles
+        can straddle full-frame tiles; ADVICE r3 #1)."""
+        cfg_sb = dict(cfg, flow_budget=probe["flow_budget"],
+                      spread_budget=sb)
+        if not (_lazy_topk_ok(cfg_sb) and cfg_sb["topk_mode"] != "none"
+                and cfg_sb["k"] > 0):
+            return _pick_n_bands(cfg_sb, vid_shape, nH, nW, fused=False)
+        return _pick_n_bands(cfg_sb, vid_shape, nH, nW,
+                             fused=_fused_topk_ok(cfg_sb))
+
     for sb in SPREAD_BUDGET_BUCKETS:
         geo = pallas_geometry(
             ws=cfg["ws"], ps=cfg["ps"], stride1=stride1,
@@ -598,14 +614,28 @@ def resolve_spread_budget(spread, flows, vid_shape, cfg, assume_fused=None):
             spread_budget=sb, use_adj=cfg["use_adj"])
         if geo["pad1"] > min(H, W) - 1:     # reflect pad must fit
             break
-        outl = pallas_outliers(
-            vid_shape, flows, ws=cfg["ws"], wt=cfg["wt"], ps=cfg["ps"],
-            stride0=cfg["stride0"], stride1=cfg["stride1"],
-            dist_type=cfg["dist_type"], dilation=cfg["dilation"],
-            full_ws=cfg["full_ws"], use_adj=cfg["use_adj"],
-            itype=cfg["itype"], flow_budget=probe["flow_budget"],
-            spread_budget=sb, tile=cfg.get("cv_tile", None))
-        if int(jnp.sum(outl)) == 0:
+        n_rb, n_cb = band_grid(sb)
+        rows, cols = nH // n_rb, nW // n_cb
+        ok = True
+        for rb in range(n_rb):
+            for cb in range(n_cb):
+                bf = flows[..., rb * rows:(rb + 1) * rows,
+                           cb * cols:(cb + 1) * cols]
+                outl = pallas_outliers(
+                    vid_shape, bf, ws=cfg["ws"], wt=cfg["wt"],
+                    ps=cfg["ps"], stride0=cfg["stride0"],
+                    stride1=cfg["stride1"], dist_type=cfg["dist_type"],
+                    dilation=cfg["dilation"], full_ws=cfg["full_ws"],
+                    use_adj=cfg["use_adj"], itype=cfg["itype"],
+                    flow_budget=probe["flow_budget"], spread_budget=sb,
+                    tile=cfg.get("cv_tile", None),
+                    row0=rb * rows, col0=cb * cols)
+                if int(jnp.sum(outl)) != 0:
+                    ok = False
+                    break
+            if not ok:
+                break
+        if ok:
             return sb
     return -1
 
@@ -1055,24 +1085,65 @@ class NonLocalSearch:
             flows = empty_flows(vid0s, self.wt, self.stride0)
         vid0, vid1 = shape_vids(self.nheads, [vid0, vid1])
         flows = shape_flows(self.nheads, flows)
-        fb = resolve_flow_budget(self.flow_budget, flows)
-        sb = resolve_spread_budget(
-            self.spread_budget, flows, vid0.shape,
-            dict(self.cfg, flow_budget=fb))
+        auto_b = self.flow_budget in ("auto", None)
+        auto_s = self.spread_budget in ("auto", None)
         if not isinstance(jnp.asarray(flows), jax.core.Tracer):
-            # sticky resolution: remember budgets resolved from concrete
-            # flows, so a later jitted call (traced flows, no data to
-            # resolve from) reuses them instead of the minimal fallback.
-            # Warm up with one eager call before jitting.
-            self._resolved = (fb, sb)
-        elif getattr(self, "_resolved", None) is not None:
-            rfb, rsb = self._resolved
-            if self.flow_budget in ("auto", None):
-                fb = rfb
-            if self.spread_budget in ("auto", None):
-                sb = rsb
+            # cache resolution on a cheap fingerprint: re-running the
+            # spread validation (several full outlier preps) per eager
+            # call is substantial at 1080p (ADVICE r3 #4)
+            key = (tuple(flows.shape), tuple(vid0.shape),
+                   float(jnp.max(jnp.abs(flows))) if flows.size else 0.0) \
+                if (auto_b or auto_s) else None
+            if key is not None and getattr(self, "_res_key", None) == key:
+                fb, sb = self._resolved
+            else:
+                fb = resolve_flow_budget(self.flow_budget, flows)
+                sb = resolve_spread_budget(
+                    self.spread_budget, flows, vid0.shape,
+                    dict(self.cfg, flow_budget=fb))
+                # sticky resolution: remember budgets resolved from
+                # concrete flows, so a later jitted call (traced flows,
+                # no data to resolve from) reuses them instead of the
+                # minimal fallback. Warm up with one eager call before
+                # jitting.
+                self._resolved = (fb, sb)
+                self._res_key = key
+        else:
+            fb = resolve_flow_budget(self.flow_budget, flows)
+            sb = resolve_spread_budget(
+                self.spread_budget, flows, vid0.shape,
+                dict(self.cfg, flow_budget=fb))
+            if getattr(self, "_resolved", None) is not None:
+                if auto_b or auto_s:
+                    rfb, rsb = self._resolved
+                    if auto_b:
+                        fb = rfb
+                    if auto_s:
+                        sb = rsb
+                    self._warn_once(
+                        "traced call reuses budgets "
+                        f"(flow={fb}, spread={sb}) resolved from an "
+                        "earlier eager warm-up; those flows must be "
+                        "worst-case representative of the data seen "
+                        "under jit, or out-of-budget queries silently "
+                        "carry init-valued dists (enable "
+                        "stnls_tpu.utils.debug checks to count them)")
+            elif auto_b or auto_s:
+                self._warn_once(
+                    "first call is traced (jit with no eager warm-up) "
+                    f"with auto budgets; falling back to minimal buckets "
+                    f"(flow={fb}, spread={sb}) — warm up with one eager "
+                    "call on representative flows, or pass explicit "
+                    "budgets")
         fn = self._get_fn(fb, sb)
         return fn(vid0, vid1, flows)
+
+    def _warn_once(self, msg):
+        import warnings
+        if getattr(self, "_warned", None) != msg:
+            self._warned = msg
+            warnings.warn(f"NonLocalSearch: {msg}", RuntimeWarning,
+                          stacklevel=3)
 
     forward = __call__
 

@@ -22,3 +22,22 @@ jax.config.update("jax_enable_x64", False)
 
 assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
 assert len(jax.devices()) == 8, "tests expect the virtual 8-device CPU mesh"
+
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """Tier the fast-engine knob-grid sweep: interpret-mode kernel combos
+    are slow on CPU, so only one representative combo per engine runs by
+    default; the full sweep runs with -m slow (or on-chip via the verify
+    recipe)."""
+    for it in items:
+        fn = getattr(it, "function", None)
+        if fn is None or fn.__name__ != "test_fast_engine_grid_matches_gt":
+            continue
+        pr = it.callspec.params
+        combo = (pr["ps"], pr["stride0"], pr["stride1"], pr["k"],
+                 pr["nheads"], pr["dist_type"], pr["itype"])
+        if combo != it.module.FAST_IMPL_COMBO:
+            it.add_marker(pytest.mark.slow)
