@@ -528,6 +528,12 @@ def _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb, cells_only=False,
     if cells_only:
         c_b = jax.lax.map(body, (fb, row0s, col0s))
         return unband(c_b)
+    # rematerialize per-band prep under grad: without this, lax.map's
+    # reverse pass stores every band's VJP residuals (per-(query,pair)
+    # tile arrays, ~700 MB/band at 1080p) simultaneously -> HBM OOM;
+    # checkpointing stores only the band inputs and re-runs the band
+    # forward during the backward sweep
+    body = jax.checkpoint(body)
     d_b, i_b = jax.lax.map(body, (fb, row0s, col0s))
     # [n_rb*n_cb, B,HD,T,rows,cols,K(,3)] -> [B,HD,T,nH,nW,K(,3)]
     return unband(d_b), unband(i_b)
