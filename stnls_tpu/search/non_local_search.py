@@ -613,16 +613,17 @@ def resolve_spread_budget(spread, flows, vid_shape, cfg, assume_fused=None):
         return _pick_n_bands(cfg_sb, vid_shape, nH, nW,
                              fused=_fused_topk_ok(cfg_sb))
 
-    for sb in SPREAD_BUDGET_BUCKETS:
+    def exact_with(sb):
+        """True iff bucket(s) `sb` leave zero out-of-budget queries under
+        the band tiling the pipeline will actually use."""
         geo = pallas_geometry(
             ws=cfg["ws"], ps=cfg["ps"], stride1=stride1,
             dilation=cfg["dilation"], flow_budget=probe["flow_budget"],
             spread_budget=sb, use_adj=cfg["use_adj"])
         if geo["pad1"] > min(H, W) - 1:     # reflect pad must fit
-            break
+            return False
         n_rb, n_cb = band_grid(sb)
         rows, cols = nH // n_rb, nW // n_cb
-        ok = True
         for rb in range(n_rb):
             for cb in range(n_cb):
                 bf = flows[..., rb * rows:(rb + 1) * rows,
@@ -637,12 +638,32 @@ def resolve_spread_budget(spread, flows, vid_shape, cfg, assume_fused=None):
                     tile=cfg.get("cv_tile", None),
                     row0=rb * rows, col0=cb * cols)
                 if int(jnp.sum(outl)) != 0:
-                    ok = False
-                    break
-            if not ok:
+                    return False
+        return True
+
+    for sb in SPREAD_BUDGET_BUCKETS:
+        if not exact_with(sb):
+            continue
+        # per-axis refinement: the kernel's sweep domain is its main cost
+        # (rows and cols budget independently — the fused engine takes
+        # (row, col) tuples), so shrink each axis to the smallest exact
+        # bucket given the other
+        sb_r = sb_c = sb
+        for cand in SPREAD_BUDGET_BUCKETS:
+            if cand >= sb_r:
                 break
-        if ok:
-            return sb
+            if exact_with((cand, sb_c)):
+                sb_r = cand
+                break
+        for cand in SPREAD_BUDGET_BUCKETS:
+            if cand >= sb_c:
+                break
+            if exact_with((sb_r, cand)):
+                sb_c = cand
+                break
+        if (sb_r, sb_c) != (sb, sb):
+            return (sb_r, sb_c)
+        return sb
     return -1
 
 

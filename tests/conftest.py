@@ -19,6 +19,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# persistent CPU compile cache: the suite is dominated by hundreds of
+# tiny distinct jits (single-core CPU); repeat `pytest -q` runs skip the
+# compiles entirely (first run pays them once)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..",
+                               ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 
 assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
 assert len(jax.devices()) == 8, "tests expect the virtual 8-device CPU mesh"

@@ -10,6 +10,12 @@ import jax.numpy as jnp
 from stnls_tpu.ops.nls import refine_search_volume
 from stnls_tpu.ops.refine_cvr import refine_cvr_volume
 
+# the cvr refinement engine comparisons take ~10 min on the
+# single-core CPU runner; default-tier refine coverage rides
+# tests/search/test_refinement.py (lattice engine) — this file runs
+# with -m slow or on-chip via the verify recipe
+pytestmark = pytest.mark.slow
+
 
 def make_case(wr, ps, stride0, stride1, Ks=3, T=3, F=4, H=16, W=16, HD=1,
               B=1, wt=1, seed=0, with_invalid=False):
