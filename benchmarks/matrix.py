@@ -190,9 +190,12 @@ def config_5():
     # auto: the fused in-kernel top-K engine needs no per-band volume, so
     # auto picks ~16 fat row bands (round 3 serialized over 1,080 thin
     # bands, VERDICT r3 weak #2).
+    # budgets validated by one-time auto resolution on this data
+    # (resolve_flow_budget needs 16: amp-3 flows accumulate past 12 over
+    # the W_t=7 window; rows rebase finer than cols -> spread (12, 16))
     search = stnls_tpu.search.NonLocalSearch(
         ws, wt, ps, K, nheads=HD, self_action="anchor", itype="float",
-        flow_budget=12, spread_budget=16, band_dtype="float16")
+        flow_budget=16, spread_budget=(12, 16), band_dtype="float16")
 
     def fn(v, ff, bf):
         d, i = search(v, v, ff, bf)
@@ -255,9 +258,12 @@ def config_7():
                         jnp.float32)
     bflow = jnp.asarray(smooth_flows(rng, (B, T, 2, H, W), amp=3.0),
                         jnp.float32)
+    # budgets validated by one-time auto resolution on this data
+    # (resolve_flow_budget needs 16: amp-3 flows accumulate past 12 over
+    # the W_t=7 window; rows rebase finer than cols -> spread (12, 16))
     search = stnls_tpu.search.NonLocalSearch(
         ws, wt, ps, K, nheads=HD, self_action="anchor", itype="float",
-        flow_budget=12, spread_budget=16, band_dtype="float16")
+        flow_budget=16, spread_budget=(12, 16), band_dtype="float16")
 
     def loss(v, ff, bf):
         d, _ = search(v, v, ff, bf)
