@@ -31,7 +31,13 @@ def _sample_flow(flow, h, w, H, W):
     reflected coordinates are recovered from the neighborhood via the
     reflection-direction sign: reflect(h0+1) == reflect(h0) + s with
     s = +1 iff 0 <= h0 <= H-2 else -1 (single-reflection domain, same as
-    the reference's bounds())."""
+    the reference's bounds()).
+
+    MEMORY NOTE: the packed operand materializes 9 shifted copies of the
+    padded flow field (~9x the flow bytes) as a [B*T*H*W, 18] transient —
+    about 1.5 GB at 1080p T=10 on top of the live arrays. Fits today's
+    benchmark configs; if a larger T/batch OOMs here, build the pack
+    per-frame inside the accumulation scan instead (ADVICE r4 #5)."""
     B, T = flow.shape[:2]
     h0f = jnp.floor(h)
     w0f = jnp.floor(w)

@@ -64,6 +64,30 @@ def _largest_divisor_leq(n, cap):
     return 1
 
 
+def pack_joint_bits(rowhit, colhit, Dkc):
+    """Pack per-query (row, col) shift hit sets into the per-tile joint
+    activity table the kernels pl.when on.
+
+    rowhit [..., Dloc, N] / colhit [..., Dkc, N] (bool; N = queries per
+    tile) -> int32 [prod(...) * Dloc * (1 + ceil(Dkc/32))] where each
+    (tile, j_h) row holds [any-col-live flag, col-bit words]. The joint
+    live set is the einsum rowhit @ colhit^T (query counts < 2^24, exact
+    in f32)."""
+    rh = rowhit.astype(jnp.float32)
+    ch = colhit.astype(jnp.float32)
+    joint = jnp.einsum("...dn,...cn->...dc", rh, ch) > 0.5
+    nww = -(-Dkc // 32)
+    pad = nww * 32 - Dkc
+    jp = jnp.pad(joint, ((0, 0),) * (joint.ndim - 1) + ((0, pad),))
+    jp = jp.reshape(jp.shape[:-1] + (nww, 32))
+    w = jnp.sum(
+        jnp.where(jp, jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32),
+                  jnp.uint32(0)), axis=-1, dtype=jnp.uint32)
+    words = lax.bitcast_convert_type(w, jnp.int32)
+    rowflag = jnp.any(joint, axis=-1).astype(jnp.int32)[..., None]
+    return jnp.concatenate([rowflag, words], axis=-1).reshape(-1)
+
+
 def pallas_geometry(*, ws, ps, stride1, dilation, flow_budget,
                     spread_budget, use_adj):
     """Static geometry shared by fwd and bwd kernels.
@@ -160,7 +184,23 @@ def _hat_weights_scalar(u, m, ks):
 
 def _tapsum_to_queries(img, *, taps, t0s, TH, TW, stride0):
     """Patch tap-sum + query subsample: img [.., TPHx, TPWx] pixel field
-    (index a + t0s holds pixel offset a) -> [.., TH, TW]."""
+    (index a + t0s holds pixel offset a) -> [.., TH, TW].
+
+    For ps >= 3 the box sum is separable (column partial sums first):
+    2*ps slice-adds instead of ps^2 — the classic box-filter split; at
+    ps=7 (the reference pool default) this is 3.5x fewer adds."""
+    if len(taps) >= 3:
+        cacc = None
+        for b in taps:
+            ib = b + t0s
+            v = img[..., ib:ib + (TW - 1) * stride0 + 1:stride0]
+            cacc = v if cacc is None else cacc + v
+        acc = None
+        for a in taps:
+            ia = a + t0s
+            v = cacc[..., ia:ia + (TH - 1) * stride0 + 1:stride0, :]
+            acc = v if acc is None else acc + v
+        return acc
     acc = None
     for a in taps:
         ia = a + t0s
@@ -281,8 +321,9 @@ def _make_fwd_kernel(cfg):
 
     save_acc = bool(cfg.get("save_acc", False))
 
-    def kernel(scal_ref, v0_ref, v1_ref, l0h_ref, l0w_ref, th_ref, tw_ref,
-               ctrh_ref, ctrw_ref, offh_ref, offw_ref, *rest):
+    def kernel(scal_ref, jbits_ref, v0_ref, v1_ref, l0h_ref, l0w_ref,
+               th_ref, tw_ref, ctrh_ref, ctrw_ref, offh_ref, offw_ref,
+               *rest):
         if emit == "topk":
             outl_ref, selfid_ref = rest[0], rest[1]
             outd_ref, outi_ref, outs_ref = rest[2], rest[3], rest[4]
@@ -370,14 +411,26 @@ def _make_fwd_kernel(cfg):
                     a0 = ast_ref[r_pos[r] * NS + s_pos[sv]]
                     a1 = ast_ref[r_pos[r + e[0]] * NS + s_pos[sv + e[1]]]
                     prod = jnp.sum(a0 * a1, axis=1)  # [AH, AW]
-                    facc = None
-                    for a in taps:
-                        ia = a + t0s
-                        ya = prod[ia:ia + XFH, :]
+                    if len(taps) >= 3:      # separable box sum
+                        cs = None
                         for b in taps:
                             ib = b + t0s
-                            v = ya[:, ib:ib + XFW]
+                            v = prod[:, ib:ib + XFW]
+                            cs = v if cs is None else cs + v
+                        facc = None
+                        for a in taps:
+                            ia = a + t0s
+                            v = cs[ia:ia + XFH, :]
                             facc = v if facc is None else facc + v
+                    else:
+                        facc = None
+                        for a in taps:
+                            ia = a + t0s
+                            ya = prod[ia:ia + XFH, :]
+                            for b in taps:
+                                ib = b + t0s
+                                v = ya[:, ib:ib + XFW]
+                                facc = v if facc is None else facc + v
                     xst_ref[:, (ei * m + r) * m + sv, :] = facc
 
         l0h = l0h_ref[0, 0, 0]
@@ -396,10 +449,28 @@ def _make_fwd_kernel(cfg):
         #    one-hot selection --
         stage = cfg.get("_stage", "full")
         predicate = cfg.get("predicate", True) and stage == "full"
+        joint = bool(cfg.get("joint", False)) and predicate
         NSC = 10
         Dloc = m * ZL
+        NJW = cfg.get("NJW", 1)
+        # joint activity table base for this tile (see pack_joint_bits)
+        jtb = ((bh * cfg["P"] + p) * cfg["nTg"] + t) * (Dloc * NJW)
+
+        def row_live(j_h):
+            return jbits_ref[jtb + j_h * NJW] != 0 if joint \
+                else sread(NSC + j_h) != 0
+
+        def col_live(j_h, j_w):
+            if not joint:
+                return sread(NSC + Dloc + j_w) != 0
+            word = jbits_ref[jtb + j_h * NJW + 1 + (j_w // 32)]
+            return ((word >> (j_w % 32)) & 1) != 0
 
         def zzh_body(zzh, _):
+            # hoist the traced shift: selection compares below become
+            # compares against STATIC constants (traced-scalar broadcasts
+            # measured ~30x slower per compare, probe_r5_mxu2 piece D)
+            l0hz = l0h - m * zzh
             for r in range(m):
                 j_h = r + m * zzh
 
@@ -434,20 +505,19 @@ def _make_fwd_kernel(cfg):
                                         selw_ref[fam * Sp + uw] += \
                                             mw * vals[fam]
                             if predicate:
-                                pl.when(sread(NSC + Dloc + j_w) != 0)(
-                                    col_body)
+                                pl.when(col_live(j_h, j_w))(col_body)
                             else:
                                 col_body()
                     if stage == "prodonly":
                         return
                     for uh in range(Sp):
-                        mh = (l0h == (j_h - uh)).astype(jnp.float32)
+                        mh = (l0hz == (r - uh)).astype(jnp.float32)
                         for fam in range(nfam):
                             for uw in range(Sp):
                                 k = (fam * Sp + uh) * Sp + uw
                                 acc_ref[k] += mh * selw_ref[fam * Sp + uw]
                 if predicate:
-                    pl.when(sread(NSC + j_h) != 0)(row_body)
+                    pl.when(row_live(j_h))(row_body)
                 else:
                     row_body()
             return 0
@@ -473,7 +543,13 @@ def _make_fwd_kernel(cfg):
             @pl.when(st == 0)
             def _():
                 tkv_ref[:] = jnp.full_like(tkv_ref, init_val)
-                tki_ref[:] = jnp.zeros_like(tki_ref)
+                # empty slots carry a +huge id sentinel: under the
+                # value-then-id tie rule in insert() any REAL candidate
+                # (even one carrying init_val, e.g. out-of-frame cells)
+                # displaces them, and since every cell is inserted and
+                # S >= n_slots, no sentinel survives to the output
+                # (ADVICE r4 #2).
+                tki_ref[:] = jnp.full_like(tki_ref, 1 << 30)
                 selfv_ref[:] = jnp.full_like(selfv_ref, init_val)
                 if anchor:
                     d0v_ref[:] = jnp.full_like(d0v_ref, init_val)
@@ -484,9 +560,15 @@ def _make_fwd_kernel(cfg):
             def insert(cand, sid):
                 """Bubble the candidate plane into the sorted K-list.
 
-                Strict compare: ties keep the earlier-inserted entry —
-                candidates arrive in increasing flat-cell order, matching
-                lax.top_k's stable lowest-index-wins tie rule."""
+                Tie rule: on equal values the LOWER cell id wins —
+                exactly lax.top_k's stable lowest-index-first order.
+                (A bare strict compare is NOT enough: a finite candidate
+                arriving after several init-valued ones displaces the
+                init run's head, which would then re-insert at the run's
+                tail, scrambling the init-tail order the lazy path
+                reports. The id tie-break keeps displaced entries in
+                position, and lets real init-valued candidates claim the
+                +huge-id sentinel slots.)"""
                 carry_v = cand
                 carry_i = jnp.zeros((TH, TW), jnp.int32) + sid
                 for s in range(n_slots):
@@ -494,6 +576,7 @@ def _make_fwd_kernel(cfg):
                     inc_i = tki_ref[s]
                     b = (carry_v > inc_v) if descending \
                         else (carry_v < inc_v)
+                    b = b | ((carry_v == inc_v) & (carry_i < inc_i))
                     tkv_ref[s] = jnp.where(b, carry_v, inc_v)
                     tki_ref[s] = jnp.where(b, carry_i, inc_i)
                     carry_v = jnp.where(b, inc_v, carry_v)
@@ -568,8 +651,9 @@ def _make_fwd_kernel(cfg):
     return kernel, dm
 
 
-def _fwd_pallas_call(cfg, v0e, v1p, scal, l0h, l0w, th, tw, ctrh, ctrw,
-                     offh, offw, interpret, outlp=None, selfidp=None):
+def _fwd_pallas_call(cfg, v0e, v1p, scal, jbits, l0h, l0w, th, tw, ctrh,
+                     ctrw, offh, offw, interpret, outlp=None,
+                     selfidp=None):
     BH, P, nT = cfg["BH"], cfg["P"], cfg["nTg"]
     TH, TW, F = cfg["TH"], cfg["TW"], cfg["F"]
     ws = cfg["ws"]
@@ -603,7 +687,7 @@ def _fwd_pallas_call(cfg, v0e, v1p, scal, l0h, l0w, th, tw, ctrh, ctrw,
             lambda bh, p, t, *_: (bh, p, t, 0, 0, 0),
             memory_space=pltpu.VMEM)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(BH, P, nT),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),   # v0e
@@ -623,7 +707,7 @@ def _fwd_pallas_call(cfg, v0e, v1p, scal, l0h, l0w, th, tw, ctrh, ctrw,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=96 * 1024 * 1024),
             interpret=interpret,
-        )(scal, v0e, v1p, l0h, l0w, th, tw, ctrh, ctrw, offh, offw)
+        )(scal, jbits, v0e, v1p, l0h, l0w, th, tw, ctrh, ctrw, offh, offw)
 
     # ---- emit == "topk": grid (BH, Tq, nT, W_t), st minor so the
     # running K-list accumulates across the temporal window ----
@@ -649,7 +733,7 @@ def _fwd_pallas_call(cfg, v0e, v1p, scal, l0h, l0w, th, tw, ctrh, ctrw,
         lambda bh, ti, t, st, *_: (bh, ti * W_t + st, t, 0, 0, 0),
         memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(BH, Tq, nT, W_t),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # v0e
@@ -679,7 +763,7 @@ def _fwd_pallas_call(cfg, v0e, v1p, scal, l0h, l0w, th, tw, ctrh, ctrw,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
-    )(scal, v0e, v1p, l0h, l0w, th, tw, ctrh, ctrw, offh, offw,
+    )(scal, jbits, v0e, v1p, l0h, l0w, th, tw, ctrh, ctrw, offh, offw,
       outlp, selfidp)
 
 
@@ -946,21 +1030,44 @@ def _build_inputs(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
     cv0_b = jnp.broadcast_to(jnp.asarray(cv0r, jnp.int32), r0.shape)
     scal = jnp.stack([r0, wmodh, ti_b, tj_b, tyv_b, cw0r, wmodw,
                       dc1, dc0_b, cv0_b], axis=-1).astype(jnp.int32)
-    # per-tile shift-activity bits: shift j is live iff some query in the
-    # tile has l0 in (j - Sp, j] — the kernel pl.when-skips dead shifts
-    # (indices 10..10+Dloc-1 rows, then Dkc cols)
+    # per-tile shift-activity bits. Default: JOINT (row, col) activity —
+    # combo (j_h, j_w) is live iff SOME query in the tile needs both
+    # (l0h in (j_h-Sp, j_h] AND l0w in (j_w-Sp, j_w]). The marginal
+    # product over-approximates the live set ~2-3x for smooth flows
+    # (queries lie on a smooth curve in shift space, not a box); the
+    # K-sparse backward sharpens further with winner-only bits
+    # (nls_pallas_bwd.winner_joint_bits). Packed 32 col-shifts per int32
+    # word + a per-row any() flag, flattened 1-D for SMEM; falls back to
+    # the marginal bits when the packed table would crowd the 1 MB SMEM.
     Dloc_, Dkc_ = geo["Dloc"], geo["Dkc"]
     l0hf = l0h.reshape(BH, P, nT, -1)
     l0wf = prep["l0w"].reshape(BH, P, nT, -1)
-    rowact = jnp.stack(
-        [jnp.any((l0hf > j - Sp) & (l0hf <= j), axis=-1)
-         for j in range(Dloc_)], axis=-1)
-    colact = jnp.stack(
-        [jnp.any((l0wf > j - Sp) & (l0wf <= j), axis=-1)
-         for j in range(Dkc_)], axis=-1)
-    scal = jnp.concatenate(
-        [scal, rowact.astype(jnp.int32), colact.astype(jnp.int32)],
-        axis=-1)
+    nww = -(-Dkc_ // 32)
+    NJW = 1 + nww
+    joint_ok = bool(cfg.get("predicate", True)) and (
+        (10 * BH * P * nT + BH * P * nT * Dloc_ * NJW) * 4 <= (768 << 10))
+    cfg.update(joint=joint_ok, NJW=NJW)
+    if joint_ok:
+        rowhit = ((l0hf[:, :, :, None, :]
+                   > jnp.arange(Dloc_)[:, None] - Sp)
+                  & (l0hf[:, :, :, None, :]
+                     <= jnp.arange(Dloc_)[:, None]))
+        colhit = ((l0wf[:, :, :, None, :]
+                   > jnp.arange(Dkc_)[:, None] - Sp)
+                  & (l0wf[:, :, :, None, :]
+                     <= jnp.arange(Dkc_)[:, None]))
+        jbits = pack_joint_bits(rowhit, colhit, Dkc_)
+    else:
+        rowact = jnp.stack(
+            [jnp.any((l0hf > j - Sp) & (l0hf <= j), axis=-1)
+             for j in range(Dloc_)], axis=-1)
+        colact = jnp.stack(
+            [jnp.any((l0wf > j - Sp) & (l0wf <= j), axis=-1)
+             for j in range(Dkc_)], axis=-1)
+        scal = jnp.concatenate(
+            [scal, rowact.astype(jnp.int32), colact.astype(jnp.int32)],
+            axis=-1)
+        jbits = jnp.zeros((1,), jnp.int32)
     # flatten to 1-D for SMEM: a [BH,P,nT,NSCAL] prefetch operand gets
     # (sublane, lane) tile padding to (16,128) in SMEM, overflowing the
     # 1 MB budget at 1080p band sizes; the flat form stays at true size
@@ -988,7 +1095,7 @@ def _build_inputs(vid0, vid1, flows, *, ws, wt, ps, stride0, stride1,
         dw_s = dw_s.astype(cdtype)
     aux = dict(dt_tab=dt, dh=dh_s, dw=dw_s, cdtype=cdtype)
 
-    op_args = (v0p, v1p, scal, l0h, prep["l0w"],
+    op_args = (v0p, v1p, scal, jbits, l0h, prep["l0w"],
                to_tiles(prep["th"]), to_tiles(prep["tw"]),
                to_tiles(ctr_h), to_tiles(ctr_w),
                to_tiles(off_h.astype(dtype)),
@@ -1110,33 +1217,33 @@ def _freeze(cfg):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _vol_op(cfg, interpret, v0e, v1p, scal, l0h, l0w, th, tw,
+def _vol_op(cfg, interpret, v0e, v1p, scal, jbits, l0h, l0w, th, tw,
             ctrh, ctrw, offh, offw):
     # primal-only path: never emit the save_acc residual
     return _fwd_pallas_call(dict(cfg.d, save_acc=False), v0e, v1p, scal,
-                            l0h, l0w, th, tw, ctrh, ctrw, offh, offw,
-                            interpret)
+                            jbits, l0h, l0w, th, tw, ctrh, ctrw, offh,
+                            offw, interpret)
 
 
-def _vol_fwd(cfg, interpret, v0e, v1p, scal, l0h, l0w, th, tw,
+def _vol_fwd(cfg, interpret, v0e, v1p, scal, jbits, l0h, l0w, th, tw,
              ctrh, ctrw, offh, offw):
-    out = _fwd_pallas_call(cfg.d, v0e, v1p, scal, l0h, l0w, th, tw,
+    out = _fwd_pallas_call(cfg.d, v0e, v1p, scal, jbits, l0h, l0w, th, tw,
                            ctrh, ctrw, offh, offw, interpret)
     accsaved = None
     if cfg.d.get("save_acc", False):
         out, accsaved = out
-    return out, (v0e, v1p, scal, l0h, l0w, th, tw, ctrh, ctrw, offh, offw,
-                 accsaved)
+    return out, (v0e, v1p, scal, jbits, l0h, l0w, th, tw, ctrh, ctrw,
+                 offh, offw, accsaved)
 
 
 def _vol_bwd(cfg, interpret, res, g):
     from stnls_tpu.ops.nls_pallas_bwd import vol_bwd_pallas
-    (v0e, v1p, scal, l0h, l0w, th, tw, ctrh, ctrw, offh, offw,
+    (v0e, v1p, scal, jbits, l0h, l0w, th, tw, ctrh, ctrw, offh, offw,
      accsaved) = res
     g_v0e, g_v1p, g_th, g_tw = vol_bwd_pallas(
-        cfg.d, interpret, g, v0e, v1p, scal, l0h, l0w, th, tw,
+        cfg.d, interpret, g, v0e, v1p, scal, jbits, l0h, l0w, th, tw,
         ctrh, ctrw, offh, offw, accsaved=accsaved)
-    return (g_v0e, g_v1p, None, None, None, g_th, g_tw, None, None,
+    return (g_v0e, g_v1p, None, None, None, None, g_th, g_tw, None, None,
             None, None)
 
 
@@ -1148,17 +1255,17 @@ _vol_op.defvjp(_vol_fwd, _vol_bwd)
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _topk_op(cfg, interpret, v0e, v1p, scal, l0h, l0w, th, tw,
+def _topk_op(cfg, interpret, v0e, v1p, scal, jbits, l0h, l0w, th, tw,
              ctrh, ctrw, offh, offw, outlp, selfidp):
     # primal-only path: never emit the save_acc residual
     return _fwd_pallas_call(dict(cfg.d, save_acc=False), v0e, v1p, scal,
-                            l0h, l0w, th, tw, ctrh, ctrw, offh, offw,
-                            interpret, outlp, selfidp)
+                            jbits, l0h, l0w, th, tw, ctrh, ctrw, offh,
+                            offw, interpret, outlp, selfidp)
 
 
-def _topk_fwd(cfg, interpret, v0e, v1p, scal, l0h, l0w, th, tw,
+def _topk_fwd(cfg, interpret, v0e, v1p, scal, jbits, l0h, l0w, th, tw,
               ctrh, ctrw, offh, offw, outlp, selfidp):
-    out = _fwd_pallas_call(cfg.d, v0e, v1p, scal, l0h, l0w, th, tw,
+    out = _fwd_pallas_call(cfg.d, v0e, v1p, scal, jbits, l0h, l0w, th, tw,
                            ctrh, ctrw, offh, offw, interpret,
                            outlp, selfidp)
     accsaved = None
@@ -1166,26 +1273,32 @@ def _topk_fwd(cfg, interpret, v0e, v1p, scal, l0h, l0w, th, tw,
         d_pl, i_pl, s_pl, accsaved = out
     else:
         d_pl, i_pl, s_pl = out
-    return (d_pl, i_pl, s_pl), (v0e, v1p, scal, l0h, l0w, th, tw, ctrh,
-                                ctrw, offh, offw, outlp, selfidp, i_pl,
-                                accsaved)
+    return (d_pl, i_pl, s_pl), (v0e, v1p, scal, jbits, l0h, l0w, th, tw,
+                                ctrh, ctrw, offh, offw, outlp, selfidp,
+                                i_pl, accsaved)
 
 
 def _topk_bwd(cfg, interpret, res, g):
-    from stnls_tpu.ops.nls_pallas_bwd import topk_bwd_pallas
+    from stnls_tpu.ops.nls_pallas_bwd import topk_bwd_pallas, \
+        winner_joint_bits
     g_d, _g_i, g_s = g
-    (v0e, v1p, scal, l0h, l0w, th, tw, ctrh, ctrw, offh, offw,
+    (v0e, v1p, scal, jbits, l0h, l0w, th, tw, ctrh, ctrw, offh, offw,
      outlp, selfidp, i_pl, accsaved) = res
     if cfg.d.get("anchor", False):
         # the slot whose id == self_id holds the relocated cell-0 value
         cells_pl = jnp.where(i_pl == selfidp[:, :, :, None], 0, i_pl)
     else:
         cells_pl = i_pl
+    if cfg.d.get("joint", False):
+        # K-sparse backward: the cotangent touches only the winners'
+        # ~2x2 corner cells, so the bwd kernel sweeps winner-only joint
+        # bits instead of the forward's full-window bits (VERDICT r4 #3)
+        jbits = winner_joint_bits(cfg.d, cells_pl, selfidp, l0h, l0w)
     g_v0e, g_v1p, g_th, g_tw = topk_bwd_pallas(
         cfg.d, interpret, g_d, g_s, cells_pl, selfidp, outlp,
-        v0e, v1p, scal, l0h, l0w, th, tw, ctrh, ctrw, offh, offw,
+        v0e, v1p, scal, jbits, l0h, l0w, th, tw, ctrh, ctrw, offh, offw,
         accsaved=accsaved)
-    return (g_v0e, g_v1p, None, None, None, g_th, g_tw, None, None,
+    return (g_v0e, g_v1p, None, None, None, None, g_th, g_tw, None, None,
             None, None, None, None)
 
 

@@ -38,8 +38,65 @@ from jax.experimental.pallas import tpu as pltpu
 from stnls_tpu.ops.nls import dist_type_select
 from stnls_tpu.ops.nls_pallas import (
     kernel_dims, _hat, _hat_weights_scalar, _tapsum_to_queries,
-    _corner_terms,
+    _corner_terms, pack_joint_bits,
 )
+
+
+def winner_joint_bits(cfg, cells_pl, selfidp, l0h, l0w):
+    """Winner-only joint shift-activity bits for the K-sparse backward.
+
+    The top-K cotangent touches, per query, only the K winner cells (plus
+    the anchor self cell); each winner (st, i, j) needs the sweep combos
+    (j_h, j_w) = (l0h + su*i + ch, l0w + su*j + cw) for its bilinear
+    corners ch, cw in {0, ncr-1}. The forward's full-window bits cover
+    Sp*Sp combos per query; winners cover ~ncr^2 * K/W_t — the sweep-cost
+    mirror of the reference's K-sparse backward
+    (lib/csrc/search/nls_bilin2d.cu:189-291). Cross-slot pairing in the
+    rowhit x colhit product over-approximates (safe: extra combos compute
+    values that meet a zero cotangent).
+
+    cells_pl [BH,Tq,nT,S,TH,TW], selfidp [BH,Tq,nT,TH,TW],
+    l0h/l0w [BH,P,nT,TH,TW]. Returns packed int32 bits (pack_joint_bits
+    layout)."""
+    m, ZL, ZLc, su, ws = (cfg["m"], cfg["ZL"], cfg["ZLc"], cfg["su"],
+                          cfg["ws"])
+    W_t = cfg["W_t"]
+    Dloc, Dkc = m * ZL, m * ZLc
+    ncr = 1 if cfg["is_int"] else 2
+    BH, Tq, nT = cells_pl.shape[:3]
+    TH, TW = cells_pl.shape[-2:]
+    cells = cells_pl
+    if cfg.get("anchor", False):
+        cells = jnp.concatenate([cells, selfidp[:, :, :, None]], axis=3)
+    S = cells.shape[3]
+    st_of = cells // (ws * ws)
+    ii = (cells % (ws * ws)) // ws
+    jj = cells % ws
+    l5 = l0h.reshape(BH, Tq, W_t, nT, TH, TW)
+    w5 = l0w.reshape(BH, Tq, W_t, nT, TH, TW)
+    stm = (st_of[:, :, None] ==
+           jnp.arange(W_t, dtype=st_of.dtype)[:, None, None, None, None])
+    SENT = jnp.int32(-(10 ** 6))
+    jh = jnp.where(stm, l5[:, :, :, :, None] + su * ii[:, :, None], SENT)
+    jw = jnp.where(stm, w5[:, :, :, :, None] + su * jj[:, :, None], SENT)
+
+    def hits(vals, D):
+        # [.., S, TH, TW] winner shift origins -> [.., D, TH*TW] per-query
+        # hit masks over the ncr corner offsets (python loop over D keeps
+        # the transient at one [.., S, TH, TW] plane)
+        planes = []
+        for d in range(D):
+            h = None
+            for c in range(ncr):
+                v = vals == (d - c)
+                h = v if h is None else h | v
+            planes.append(jnp.any(h, axis=4))
+        out = jnp.stack(planes, axis=4)        # [BH,Tq,W_t,nT,D,TH,TW]
+        return out.reshape(BH, Tq * W_t, nT, D, TH * TW)
+
+    rowhit = hits(jh, Dloc)
+    colhit = hits(jw, Dkc)
+    return pack_joint_bits(rowhit, colhit, Dkc)
 
 
 def bwd_supported(cfg):
@@ -82,8 +139,21 @@ def _make_bwd_kernel(cfg):
 
     def tapsum_T(gq, out_h, out_w):
         """Transpose of the tap-sum: scatter [TH, TW] query grads into a
-        zero [out_h, out_w] pixel field at the 9 static tap offsets."""
+        zero [out_h, out_w] pixel field at the ps^2 static tap offsets
+        (separable for ps >= 3, mirroring _tapsum_to_queries)."""
         gd = dilate_queries(gq)
+        if len(taps) >= 3:
+            cs = None
+            for b in taps:
+                ib = b + t0s
+                v = jnp.pad(gd, ((0, 0), (ib, out_w - TPW_ - ib)))
+                cs = v if cs is None else cs + v
+            acc = None
+            for a in taps:
+                ia = a + t0s
+                v = jnp.pad(cs, ((ia, out_h - TPH_ - ia), (0, 0)))
+                acc = v if acc is None else acc + v
+            return acc
         acc = None
         for a in taps:
             ia = a + t0s
@@ -113,7 +183,10 @@ def _make_bwd_kernel(cfg):
     n_slots = cfg.get("n_slots", 0)
     anchor = bool(cfg.get("anchor", False))
 
-    def kernel(scal_ref, *all_rest):
+    joint = bool(cfg.get("joint", False)) and predicate
+    NJW = cfg.get("NJW", 1)
+
+    def kernel(scal_ref, jbits_ref, *all_rest):
         if emit == "topk":
             (gd_ref, gs_ref, cells_ref, selfid_ref, outl_ref,
              v0_ref, v1_ref, gv0z_ref, gv1z_ref) = all_rest[:9]
@@ -157,6 +230,20 @@ def _make_bwd_kernel(cfg):
         dc0 = sread(8)   # v0 col block
         cv0r = sread(9)  # v0 fine roll
 
+        # joint activity table base (fwd-window bits for the dense-volume
+        # backward; winner-only bits for the K-sparse top-K backward)
+        jtb = ((bh * cfg["P"] + p) * cfg["nTg"] + t) * (Dloc * NJW)
+
+        def row_live(j_h):
+            return jbits_ref[jtb + j_h * NJW] != 0 if joint \
+                else sread(NSC + j_h) != 0
+
+        def col_live(j_h, j_w):
+            if not joint:
+                return sread(NSC + Dloc + j_w) != 0
+            word = jbits_ref[jtb + j_h * NJW + 1 + (j_w // 32)]
+            return ((word >> (j_w % 32)) & 1) != 0
+
         # ---------------- A. recompute forward state ----------------
         cp0 = pltpu.make_async_copy(
             v0_ref.at[bh, ti, pl.ds(tyv, TPHx), slice(None),
@@ -196,15 +283,27 @@ def _make_bwd_kernel(cfg):
                 for sv in range(m):
                     a0 = ast_ref[r_pos[r] * NS + s_pos[sv]]
                     a1 = ast_ref[r_pos[r + e[0]] * NS + s_pos[sv + e[1]]]
-                    prod = jnp.sum(a0 * a1, axis=1)
-                    facc = None
-                    for a in taps:
-                        ia = a + t0s
-                        ya = prod[ia:ia + XFH, :]
+                    prod = jnp.sum(a0 * a1, axis=1)  # [AH, AW]
+                    if len(taps) >= 3:      # separable box sum
+                        cs = None
                         for b in taps:
                             ib = b + t0s
-                            v = ya[:, ib:ib + XFW]
+                            v = prod[:, ib:ib + XFW]
+                            cs = v if cs is None else cs + v
+                        facc = None
+                        for a in taps:
+                            ia = a + t0s
+                            v = cs[ia:ia + XFH, :]
                             facc = v if facc is None else facc + v
+                    else:
+                        facc = None
+                        for a in taps:
+                            ia = a + t0s
+                            ya = prod[ia:ia + XFH, :]
+                            for b in taps:
+                                ib = b + t0s
+                                v = ya[:, ib:ib + XFW]
+                                facc = v if facc is None else facc + v
                     xst_ref[:, (ei * m + r) * m + sv, :] = facc
 
         l0h = l0h_ref[0, 0, 0]
@@ -213,6 +312,7 @@ def _make_bwd_kernel(cfg):
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
         def fwd_sel_body(zzh, _):
+            l0hz = l0h - m * zzh      # static selection compares (see fwd)
             for r in range(m):
                 j_h = r + m * zzh
 
@@ -242,18 +342,17 @@ def _make_bwd_kernel(cfg):
                                         selw_ref[fam * Sp + uw] += \
                                             mw * vals[fam]
                             if predicate:
-                                pl.when(sread(NSC + Dloc + j_w) != 0)(
-                                    col_body)
+                                pl.when(col_live(j_h, j_w))(col_body)
                             else:
                                 col_body()
                     for uh in range(Sp):
-                        mh = (l0h == (j_h - uh)).astype(jnp.float32)
+                        mh = (l0hz == (r - uh)).astype(jnp.float32)
                         for fam in range(nfam):
                             for uw in range(Sp):
                                 k = (fam * Sp + uh) * Sp + uw
                                 acc_ref[k] += mh * selw_ref[fam * Sp + uw]
                 if predicate:
-                    pl.when(sread(NSC + j_h) != 0)(row_body)
+                    pl.when(row_live(j_h))(row_body)
                 else:
                     row_body()
             return 0
@@ -350,6 +449,7 @@ def _make_bwd_kernel(cfg):
         gxst_ref[:] = jnp.zeros_like(gxst_ref)
 
         def bwd_sel_body(zzh, _):
+            l0hz = l0h - m * zzh      # static selection compares (see fwd)
             for r in range(m):
                 j_h = r + m * zzh
 
@@ -357,7 +457,7 @@ def _make_bwd_kernel(cfg):
                     # row-selected cotangents per (fam, uw)
                     grow = [[None] * Sp for _ in range(nfam)]
                     for uh in range(Sp):
-                        mh = (l0h == (j_h - uh)).astype(jnp.float32)
+                        mh = (l0hz == (r - uh)).astype(jnp.float32)
                         for fam in range(nfam):
                             for uw in range(Sp):
                                 k = (fam * Sp + uh) * Sp + uw
@@ -402,12 +502,11 @@ def _make_bwd_kernel(cfg):
                                              zzw:zzw + TPW] = \
                                         gxp + dilate_queries(gxs[ei])
                             if predicate:
-                                pl.when(sread(NSC + Dloc + j_w) != 0)(
-                                    col_body)
+                                pl.when(col_live(j_h, j_w))(col_body)
                             else:
                                 col_body()
                 if predicate:
-                    pl.when(sread(NSC + j_h) != 0)(row_body)
+                    pl.when(row_live(j_h))(row_body)
                 else:
                     row_body()
             return 0
@@ -511,7 +610,7 @@ def _bwd_scratch(cfg, dm):
 
 
 def topk_bwd_pallas(cfg, interpret, g_d, g_s, cells_pl, selfidp, outlp,
-                    v0e, v1p, scal, l0h, l0w, th, tw, ctrh, ctrw,
+                    v0e, v1p, scal, jbits, l0h, l0w, th, tw, ctrh, ctrw,
                     offh, offw, accsaved=None):
     """Backward for the fused in-kernel top-K forward: the cotangent is
     K-sparse (per-winner grads g_d + winner cell ids + the anchor self
@@ -542,7 +641,7 @@ def topk_bwd_pallas(cfg, interpret, g_d, g_s, cells_pl, selfidp, outlp,
                            memory_space=pltpu.VMEM)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(BH, P, nT),
         in_specs=[kspec, sspec, kspec, sspec, qspec,        # gd gs cells
                   any_spec, any_spec, any_spec, any_spec,   # self outl
@@ -564,16 +663,18 @@ def topk_bwd_pallas(cfg, interpret, g_d, g_s, cells_pl, selfidp, outlp,
     )
     gv0_zero = jnp.zeros(v0e.shape, jnp.float32)
     gv1_zero = jnp.zeros(v1p.shape, jnp.float32)
-    # inputs after the prefetch arg: 1=g_d 2=g_s 3=cells 4=selfid 5=outl
-    # 6=v0e 7=v1p 8=gv0_zero 9=gv1_zero -> aliased onto outputs 0, 1
-    operands = [scal, g_d.astype(jnp.float32), g_s.astype(jnp.float32),
+    # operand indices (scal=0, jbits=1): 2=g_d 3=g_s 4=cells 5=selfid
+    # 6=outl 7=v0e 8=v1p 9=gv0_zero 10=gv1_zero -> aliased onto outputs
+    # 0, 1
+    operands = [scal, jbits, g_d.astype(jnp.float32),
+                g_s.astype(jnp.float32),
                 cells_pl, selfidp, outlp, v0e, v1p, gv0_zero, gv1_zero,
                 l0h, l0w, th, tw, ctrh, ctrw, offh, offw]
     if save_acc:
         operands.append(accsaved)
     g_v0e, g_v1p, g_th_t, g_tw_t = pl.pallas_call(
         kernel, out_shape=out_shape, grid_spec=grid_spec,
-        input_output_aliases={8: 0, 9: 1},
+        input_output_aliases={9: 0, 10: 1},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -581,8 +682,8 @@ def topk_bwd_pallas(cfg, interpret, g_d, g_s, cells_pl, selfidp, outlp,
     return g_v0e, g_v1p, g_th_t, g_tw_t
 
 
-def vol_bwd_pallas(cfg, interpret, g, v0e, v1p, scal, l0h, l0w, th, tw,
-                   ctrh, ctrw, offh, offw, accsaved=None):
+def vol_bwd_pallas(cfg, interpret, g, v0e, v1p, scal, jbits, l0h, l0w,
+                   th, tw, ctrh, ctrw, offh, offw, accsaved=None):
     """Returns (g_v0e, g_v1p, g_th, g_tw)."""
     BH, P, nT = cfg["BH"], cfg["P"], cfg["nTg"]
     TH, TW, F = cfg["TH"], cfg["TW"], cfg["F"]
@@ -602,7 +703,7 @@ def vol_bwd_pallas(cfg, interpret, g, v0e, v1p, scal, l0h, l0w, th, tw,
                            memory_space=pltpu.VMEM)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(BH, P, nT),
         in_specs=[gspec, any_spec, any_spec, any_spec, any_spec,
                   qspec, qspec, qspec, qspec, qspec, qspec, qspec, qspec]
@@ -623,15 +724,15 @@ def vol_bwd_pallas(cfg, interpret, g, v0e, v1p, scal, l0h, l0w, th, tw,
     )
     gv0_zero = jnp.zeros(v0e.shape, jnp.float32)
     gv1_zero = jnp.zeros(v1p.shape, jnp.float32)
-    # inputs (after the scalar-prefetch arg): index 1 = g, 2 = v0e, 3 = v1p,
-    # 4 = gv0_zero, 5 = gv1_zero -> aliased onto outputs 0, 1
-    operands = [scal, g.astype(jnp.float32), v0e, v1p, gv0_zero, gv1_zero,
-                l0h, l0w, th, tw, ctrh, ctrw, offh, offw]
+    # operand indices (scal=0, jbits=1): 2 = g, 3 = v0e, 4 = v1p,
+    # 5 = gv0_zero, 6 = gv1_zero -> aliased onto outputs 0, 1
+    operands = [scal, jbits, g.astype(jnp.float32), v0e, v1p, gv0_zero,
+                gv1_zero, l0h, l0w, th, tw, ctrh, ctrw, offh, offw]
     if save_acc:
         operands.append(accsaved)
     g_v0e, g_v1p, g_th_t, g_tw_t = pl.pallas_call(
         kernel, out_shape=out_shape, grid_spec=grid_spec,
-        input_output_aliases={4: 0, 5: 1},
+        input_output_aliases={5: 0, 6: 1},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

@@ -480,31 +480,28 @@ def _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb, cells_only=False,
     assert lazy or not cells_only
 
     def body(xs):
-        from stnls_tpu.utils.debug import emit_count_warning
+        # outlier counts are RETURNED (not warned here): the body runs
+        # under jax.checkpoint, so a host callback inside it would fire
+        # twice per band under grad (ADVICE r4 #3) — the caller warns
+        # once on the stacked counts after lax.map
         band_flows, r0, c0 = xs
         if fused is not None:
             d, i, cells, outl = fused(band_flows, r0, c0)
-            emit_count_warning(
-                jnp.sum(outl),
-                f"NonLocalSearch {engine} band: queries exceeded "
-                "flow_budget/spread_budget and carry init-valued dists")
+            cnt = jnp.sum(outl)
             if cells_only:
-                return cells
+                return cells, cnt
             if band_dtype is not None:
                 d = d.astype(band_dtype)
                 i = i.astype(band_dtype)
-            return d, i
+            return d, i, cnt
         d, i3, outl = volume(band_flows, r0, c0, lazy)
-        emit_count_warning(
-            jnp.sum(outl),
-            f"NonLocalSearch {engine} band: queries exceeded flow_budget/"
-            "spread_budget and carry init-valued dists")
+        cnt = jnp.sum(outl)
         if lazy:
             d, i, cells = _pallas_topk_aux(
                 d, i3, self_action=cfg["self_action"], k=cfg["k"],
                 dist_type=cfg["dist_type"], return_cells=True)
             if cells_only:
-                return cells
+                return cells, cnt
         else:
             d, i = _self_action_topk(
                 d, i3, self_action=cfg["self_action"],
@@ -515,7 +512,7 @@ def _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb, cells_only=False,
             # the stacked per-band results on huge frames (1080p, T=10)
             d = d.astype(band_dtype)
             i = i.astype(band_dtype)
-        return d, i
+        return d, i, cnt
 
     def unband(x):
         rest = x.shape[1:]          # (B,HD,T,rows,cols)+tail
@@ -525,8 +522,14 @@ def _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb, cells_only=False,
         x = jnp.transpose(x, perm)
         return x.reshape(x.shape[:3] + (nH, nW) + rest[5:])
 
+    from stnls_tpu.utils.debug import emit_count_warning
+
     if cells_only:
-        c_b = jax.lax.map(body, (fb, row0s, col0s))
+        c_b, cnt_b = jax.lax.map(body, (fb, row0s, col0s))
+        emit_count_warning(
+            jnp.sum(cnt_b),
+            f"NonLocalSearch {engine} bands: queries exceeded "
+            "flow_budget/spread_budget and carry init-valued dists")
         return unband(c_b)
     # rematerialize per-band prep under grad: without this, lax.map's
     # reverse pass stores every band's VJP residuals (per-(query,pair)
@@ -534,7 +537,11 @@ def _pallas_banded(vid0, vid1, flows, cfg, n_rb, n_cb, cells_only=False,
     # checkpointing stores only the band inputs and re-runs the band
     # forward during the backward sweep
     body = jax.checkpoint(body)
-    d_b, i_b = jax.lax.map(body, (fb, row0s, col0s))
+    d_b, i_b, cnt_b = jax.lax.map(body, (fb, row0s, col0s))
+    emit_count_warning(
+        jnp.sum(cnt_b),
+        f"NonLocalSearch {engine} bands: queries exceeded "
+        "flow_budget/spread_budget and carry init-valued dists")
     # [n_rb*n_cb, B,HD,T,rows,cols,K(,3)] -> [B,HD,T,nH,nW,K(,3)]
     return unband(d_b), unband(i_b)
 
@@ -1118,8 +1125,13 @@ class NonLocalSearch:
             # cache resolution on a cheap fingerprint: re-running the
             # spread validation (several full outlier preps) per eager
             # call is substantial at 1080p (ADVICE r3 #4)
+            # fingerprint carries max AND mean |flow|: clipped/normalized
+            # flow fields share a max, so max alone could silently reuse
+            # a spread budget validated for other data (ADVICE r4 #1)
+            absf = jnp.abs(flows) if flows.size else None
             key = (tuple(flows.shape), tuple(vid0.shape),
-                   float(jnp.max(jnp.abs(flows))) if flows.size else 0.0) \
+                   float(jnp.max(absf)) if flows.size else 0.0,
+                   float(jnp.mean(absf)) if flows.size else 0.0) \
                 if (auto_b or auto_s) else None
             if key is not None and getattr(self, "_res_key", None) == key:
                 fb, sb = self._resolved

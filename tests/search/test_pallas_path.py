@@ -134,7 +134,6 @@ def test_pallas_gradients_match_lattice(cfg):
         assert err < 5e-4, f"{name}: {err:.2e}"
 
 
-@pytest.mark.slow
 def test_pallas_banded_streaming_matches_full():
     """The memory-bounded band-streaming pipeline (qchunk) must equal the
     lattice pipeline bit-for-bit in dists/inds ordering semantics."""
@@ -251,3 +250,65 @@ def test_pallas_smoke():
         a, b = np.asarray(a), np.asarray(b)
         err = np.max(np.abs(a - b) / (np.abs(a) + 1.0))
         assert err < 5e-4, f"{name}: {err:.2e}"
+
+
+def test_pallas_smoke_int_noanchor():
+    """Default-tier smoke #2: int itype + self_action=None through the
+    fused in-kernel top-K engine (the anchor/float smoke above leaves the
+    non-anchor insert path and the int assembly untested by `pytest -q`
+    — ADVICE r4 #4)."""
+    from stnls_tpu.search import NonLocalSearch
+    rng = np.random.default_rng(12)
+    B, T, F, H, W = 1, 2, 4, 12, 12
+    HD, ws, wt, ps, K = 1, 3, 1, 2, 4
+    vid0 = jnp.asarray(rng.standard_normal((B, T, HD * F, H, W)),
+                       jnp.float32)
+    vid1 = jnp.asarray(rng.standard_normal((B, T, HD * F, H, W)),
+                       jnp.float32)
+    flows = jnp.asarray(np.clip(
+        1.5 * rng.standard_normal((B, T, 2 * wt, 2, H, W)), -1.5, 1.5),
+        jnp.float32)
+    common = dict(nheads=HD, stride0=1, stride1=1, self_action=None,
+                  itype="int")
+    s_ref = NonLocalSearch(ws, wt, ps, K, impl="lattice", **common)
+    s_pal = NonLocalSearch(ws, wt, ps, K, impl="pallas", flow_budget=4,
+                           spread_budget=8, **common)
+    d_r, i_r = s_ref(vid0, vid1, flows)
+    d_p, i_p = s_pal(vid0, vid1, flows)
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_r),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_r))
+
+
+def test_pallas_topk_underfilled_slots():
+    """full_ws=False edge queries have fewer in-frame candidates than K:
+    the fused in-kernel top-K must pad with the lazy lax.top_k
+    convention (init-valued entries ranked by cell id), not duplicate
+    cell 0 (ADVICE r4 #2 sentinel fix)."""
+    from stnls_tpu.search import NonLocalSearch
+    rng = np.random.default_rng(13)
+    B, T, F, H, W = 1, 2, 4, 12, 12
+    HD, ws, wt, ps = 1, 3, 1, 1
+    # K == the full candidate count: edge queries (full_ws=False keeps
+    # the window centered, so corners lose ~half their cells) MUST fill
+    # trailing slots with init-valued entries
+    K = (2 * wt + 1 - 1) * ws * ws  # W_t*ws*ws with T=2 -> W_t=2
+    vid0 = jnp.asarray(rng.standard_normal((B, T, HD * F, H, W)),
+                       jnp.float32)
+    vid1 = jnp.asarray(rng.standard_normal((B, T, HD * F, H, W)),
+                       jnp.float32)
+    flows = jnp.zeros((B, T, 2 * wt, 2, H, W), jnp.float32)
+    common = dict(nheads=HD, stride0=1, stride1=1, self_action=None,
+                  itype="float", full_ws=False)
+    s_ref = NonLocalSearch(ws, wt, ps, K, impl="lattice", **common)
+    s_pal = NonLocalSearch(ws, wt, ps, K, impl="pallas", flow_budget=4,
+                           spread_budget=8, **common)
+    d_r, i_r = s_ref(vid0, vid1, flows)
+    d_p, i_p = s_pal(vid0, vid1, flows)
+    dr, dp = np.asarray(d_r), np.asarray(d_p)
+    assert not np.all(np.isfinite(dr)), "test must exercise init slots"
+    np.testing.assert_array_equal(np.isfinite(dr), np.isfinite(dp))
+    m = np.isfinite(dr)
+    np.testing.assert_allclose(dp[m], dr[m], rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(i_p), np.asarray(i_r),
+                               rtol=1e-5, atol=1e-4)
