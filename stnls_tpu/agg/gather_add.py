@@ -23,9 +23,13 @@ def _pallas_ok(impl, ps, strideIn, strideOut, outH, outW, pt, dilation,
         return False
     if impl == "auto" and jax.default_backend() != "tpu":
         return False
-    ok = (strideIn == 1 and strideOut == 1
+    nH = (H - 1) // strideIn + 1
+    nW = (W - 1) // strideIn + 1
+    ok = (strideIn == strideOut
+          and strideIn * nH == H and strideIn * nW == W
           and outH in (0, H) and outW in (0, W)
-          and agg_pallas_supported(ps=ps, stride0=1, dilation=dilation,
+          and agg_pallas_supported(ps=ps, stride0=strideIn,
+                                   dilation=dilation,
                                    pt=pt, reflect_bounds_=reflect_bounds,
                                    budget=budget, spread=spread, H=H, W=W))
     if impl == "pallas":
@@ -57,8 +61,10 @@ def non_local_gather_add(vid, weights, flows, ps=7, strideIn=4, strideOut=4,
         from stnls_tpu.utils.debug import emit_count_warning
         B, HD_, T = vid.shape[:3]
         K = flows.shape[-2]
-        weights6 = weights.reshape(B, HD_, T, H, W, K)
-        flows7 = flows.reshape(B, HD_, T, H, W, K, 3)
+        nH = (H - 1) // strideIn + 1
+        nW = (W - 1) // strideIn + 1
+        weights6 = weights.reshape(B, HD_, T, nH, nW, K)
+        flows7 = flows.reshape(B, HD_, T, nH, nW, K, 3)
         # the reference skips "-1e8 invalid fill" entries
         # (gather_add_kernel.cu:71-73); zero them out before the kernel so
         # the reflect-bound floor math never sees the sentinels
@@ -67,7 +73,7 @@ def non_local_gather_add(vid, weights, flows, ps=7, strideIn=4, strideOut=4,
         weights6 = jnp.where(finite, weights6, 0.)
         flows7 = jnp.where(finite[..., None], flows7, 0.)
         stack, outl = nl_gather_stack_pallas(
-            vid, weights6, flows7, ps=ps, stride0=1, pt=pt,
+            vid, weights6, flows7, ps=ps, stride0=strideIn, pt=pt,
             dilation=dilation, reflect_bounds_=reflect_bounds,
             use_adj=use_adj, itype=itype, budget=budget, spread=spread,
             wt_hint=wt_hint)

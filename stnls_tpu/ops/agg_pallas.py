@@ -52,7 +52,9 @@ def agg_pallas_supported(*, ps, stride0, dilation, pt, reflect_bounds_,
                          budget, spread, H, W):
     geo = agg_geometry(ps=ps, dilation=dilation, use_adj=False,
                        budget=budget, spread=spread)
-    return (pt == 1 and reflect_bounds_ and stride0 == 1
+    # stride0 > 1 rides the stride-1 kernel via pixel-grid field dilation
+    # (see nl_gather_stack_pallas)
+    return (pt == 1 and reflect_bounds_ and stride0 >= 1
             and geo["padS"] <= min(H, W) - 1
             # activity bitmask words hold one bit per local shift
             and geo["ZL"] <= 31 and geo["ZLc"] <= 31)
@@ -174,7 +176,23 @@ def _colpad(x, lo, hi):
 def _tapsum_fwd(M, taps, hh, TH):
     """Mt[x] = sum_p M[x - p]; M [THh, ..., TWp] on query rows with halo
     hh (rows = axis 0, cols = last axis; queries beyond the grid carry
-    zero weight) -> [TH, ..., TWp]."""
+    zero weight) -> [TH, ..., TWp]. Separable (2*ps slice-adds instead of
+    ps^2) for ps >= 3."""
+    if len(taps) >= 3:
+        cs = None
+        for a in taps:
+            v = M[hh - a:hh - a + TH]
+            cs = v if cs is None else cs + v
+        acc = None
+        for b in taps:
+            if b == 0:
+                v = cs
+            elif b > 0:
+                v = _colpad(cs[..., :-b], b, 0)
+            else:
+                v = _colpad(cs[..., -b:], 0, -b)
+            acc = v if acc is None else acc + v
+        return acc
     acc = None
     for a in taps:
         ya = M[hh - a:hh - a + TH]
@@ -191,8 +209,24 @@ def _tapsum_fwd(M, taps, hh, TH):
 
 def _tapsum_bwd(G, taps, hh, THh):
     """Transpose of _tapsum_fwd: gM[q] = sum_p G[q + p]; G [TH, ..., TWp]
-    -> [THh, ..., TWp]."""
+    -> [THh, ..., TWp]. Separable for ps >= 3 (mirrors _tapsum_fwd)."""
     TH = G.shape[0]
+    if len(taps) >= 3:
+        cs = None
+        for b in taps:
+            if b == 0:
+                v = G
+            elif b > 0:
+                v = _colpad(G[..., b:], 0, b)
+            else:
+                v = _colpad(G[..., :b], -b, 0)
+            cs = v if cs is None else cs + v
+        acc = None
+        for a in taps:
+            rows = [(hh + a, THh - TH - hh - a)] + [(0, 0)] * (cs.ndim - 1)
+            v = jnp.pad(cs, rows)
+            acc = v if acc is None else acc + v
+        return acc
     acc = None
     for a in taps:
         rows = [(hh + a, THh - TH - hh - a)] + [(0, 0)] * (G.ndim - 1)
@@ -613,6 +647,23 @@ def nl_gather_stack_pallas(vid, weights, flows, *, ps, stride0=1, pt=1,
                                 budget=budget, spread=spread, H=H, W=W)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    out_stride0 = stride0
+    if stride0 > 1:
+        # strided query grid rides the stride-1 kernel: each query's
+        # fields sit at its pixel position (weights zero elsewhere; flows
+        # REPEATED from the owning query so the activity bitmasks don't
+        # inflate — repeated entries carry zero weight and the reference
+        # default pool/gather workload is ps=7, stride0=4,
+        # lib/stnls/agg/pool.py — VERDICT r4 #5)
+        nH_, nW_ = num_queries(H, W, stride0)
+        K_ = flows.shape[-2]
+        assert weights.shape[3] == nH_ and weights.shape[4] == nW_
+        wpix = jnp.zeros((B, HD, T, H, W, K_), weights.dtype)
+        wpix = wpix.at[:, :, :, ::stride0, ::stride0].set(weights)
+        fpix = jnp.repeat(jnp.repeat(flows, stride0, axis=3), stride0,
+                          axis=4)[:, :, :, :H, :W]
+        weights, flows = wpix, fpix
+        stride0 = 1
     prep = agg_pallas_prep(vid.shape, weights, flows, ps=ps,
                            stride0=stride0, dilation=dilation,
                            use_adj=use_adj, itype=itype, budget=budget,
@@ -658,7 +709,7 @@ def nl_gather_stack_pallas(vid, weights, flows, *, ps, stride0=1, pt=1,
     if normalize:
         from stnls_tpu.ops.agg import patch_overlap_counts
         counts = jnp.asarray(
-            patch_overlap_counts(H, W, ps, stride0, dilation, use_adj),
+            patch_overlap_counts(H, W, ps, out_stride0, dilation, use_adj),
             vid.dtype)
         out = out / (counts + 1e-10)
     return out.astype(vid.dtype), prep["outliers"]
