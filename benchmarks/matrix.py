@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "RESULTS_r04.json")
+                       "RESULTS_r05.json")
 
 
 def smooth_flows(rng, shape, amp=4.0, modes=4):
