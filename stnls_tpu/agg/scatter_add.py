@@ -77,8 +77,14 @@ def non_local_scatter_add(vid, weights, flows, ps=7, strideIn=4, strideOut=4,
             dilation=dilation,
             reflect_bounds_=reflect_bounds, use_adj=use_adj,
             budget=budget, spread=spread, wt_hint=wt_hint)
+        # outliers live on the (possibly dilated) pixel grid; lift the
+        # query-grid finite mask to match before filtering sentinels out
+        fin_px = finite
+        if nH != H:
+            fin_px = jnp.repeat(jnp.repeat(finite, strideIn, axis=3),
+                                strideIn, axis=4)[:, :, :, :H, :W]
         emit_count_warning(
-            jnp.sum(outl & finite.transpose(0, 1, 5, 2, 3, 4)),
+            jnp.sum(outl & fin_px.transpose(0, 1, 5, 2, 3, 4)),
             f"NonLocalScatterAdd pallas path: edges exceeded budget="
             f"{budget}/spread={spread} and contribute zero")
         return out
