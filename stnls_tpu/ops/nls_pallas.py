@@ -1292,7 +1292,11 @@ def _topk_bwd(cfg, interpret, res, g):
     if cfg.d.get("joint", False):
         # K-sparse backward: the cotangent touches only the winners'
         # ~2x2 corner cells, so the bwd kernel sweeps winner-only joint
-        # bits instead of the forward's full-window bits (VERDICT r4 #3)
+        # bits instead of the forward's full-window bits (VERDICT r4 #3).
+        # (An A/B that reuses the forward bits when save_acc residuals
+        # already skip the recompute measured the SAME wall time — the
+        # ~7 ms winner-bits prep overlaps the kernel — so the sharper
+        # bits are kept unconditionally; probe_r5_bwd_phases.)
         jbits = winner_joint_bits(cfg.d, cells_pl, selfidp, l0h, l0w)
     g_v0e, g_v1p, g_th, g_tw = topk_bwd_pallas(
         cfg.d, interpret, g_d, g_s, cells_pl, selfidp, outlp,
